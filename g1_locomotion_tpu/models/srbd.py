@@ -1,0 +1,132 @@
+"""Single-Rigid-Body-Dynamics (SRBD) model: linearization, discretization,
+horizon condensation — all matmul-formulated for the MXU.
+
+Implements the convex-MPC model reconstructed in SURVEY.md §2.3 (Di Carlo-style,
+from the reference's srbd_mpc submodule contract at run_simulation.py:73-106 and
+callback unpacking ros_run_simulation.py:198-211):
+
+State (13): ``x = [theta(3) rpy, p(3) CoM, omega(3) world ang vel,
+v(3) CoM vel, g]`` with gravity appended to keep dynamics linear.
+
+Continuous dynamics, linearized about reference yaw psi:
+    theta_dot = Rz(psi)^T omega
+    p_dot     = v
+    omega_dot = I_w^{-1} sum_i (r_i x f_i),  r_i = c_i - p,  I_w = Rz I_b Rz^T
+    v_dot     = sum_i f_i / m + e_z * g      (x[12] = -9.80665)
+
+The inertia is the torso-only inertia, exactly as the reference uses
+(wbid.py:262-266: diag(8.20564e-2, 8.05015e-2, 0.32353e-2) kg m^2).
+
+A_c is nilpotent (A_c^3 = 0), so the ZOH discretization
+``A_d = exp(A_c dt) = I + A_c dt + A_c^2 dt^2/2`` is exact; B_d uses the
+matching series through third order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from g1_locomotion_tpu.core.rotations import skew, yaw_matrix
+
+NX = 13  # state dim
+NU = 12  # 4 contacts x 3 forces
+NC = 4   # contact points: L-heel, L-toe, R-heel, R-toe (ros_run_simulation.py:65)
+
+# Torso inertia used by the reference MPC (wbid.py:262-266).
+TORSO_INERTIA = jnp.array(
+    [[8.20564e-2, 0.0, 0.0], [0.0, 8.05015e-2, 0.0], [0.0, 0.0, 0.32353e-2]]
+)
+G1_MASS = 34.13290  # sum of URDF link masses (g1_23dof.urdf)
+GRAVITY = -9.80665  # state element 12 (ros_run_simulation.py:58)
+
+
+class SRBDParams(NamedTuple):
+    mass: jnp.ndarray  # scalar
+    inertia: jnp.ndarray  # (3,3) body-frame rotational inertia
+
+
+def default_params(dtype=jnp.float32) -> SRBDParams:
+    return SRBDParams(
+        mass=jnp.asarray(G1_MASS, dtype), inertia=TORSO_INERTIA.astype(dtype)
+    )
+
+
+def continuous_matrices(
+    params: SRBDParams,
+    yaw: jnp.ndarray,
+    r: jnp.ndarray,  # (NC, 3) contact positions relative to CoM (world frame)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(A_c, B_c) of the yaw-linearized SRBD dynamics."""
+    dtype = r.dtype
+    Rz = yaw_matrix(yaw).astype(dtype)
+    I_w = Rz @ params.inertia.astype(dtype) @ Rz.T
+    I_w_inv = jnp.linalg.inv(I_w)
+
+    A = jnp.zeros((NX, NX), dtype)
+    A = A.at[0:3, 6:9].set(Rz.T)
+    A = A.at[3:6, 9:12].set(jnp.eye(3, dtype=dtype))
+    A = A.at[11, 12].set(1.0)
+
+    B = jnp.zeros((NX, NU), dtype)
+    inv_m = 1.0 / params.mass
+    for i in range(NC):
+        B = B.at[6:9, 3 * i : 3 * i + 3].set(I_w_inv @ skew(r[i]))
+        B = B.at[9:12, 3 * i : 3 * i + 3].set(jnp.eye(3, dtype=dtype) * inv_m)
+    return A, B
+
+
+def discretize(
+    A: jnp.ndarray, B: jnp.ndarray, dt: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact ZOH for the nilpotent SRBD A (A^3 = 0)."""
+    eye = jnp.eye(NX, dtype=A.dtype)
+    A2 = A @ A
+    Ad = eye + A * dt + A2 * (dt * dt / 2.0)
+    Bd = (eye * dt + A * (dt * dt / 2.0) + A2 * (dt**3 / 6.0)) @ B
+    return Ad, Bd
+
+
+def condense(
+    Ad: jnp.ndarray,  # (N, NX, NX) per-step discrete A
+    Bd: jnp.ndarray,  # (N, NX, NU) per-step discrete B
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lift the horizon into ``X = A_qp x0 + B_qp U`` (SURVEY.md §2.3).
+
+    X stacks x_1..x_N (N*NX); U stacks u_0..u_{N-1} (N*NU).
+    A_qp[k] = prod_{j<=k} A_j ;  B_qp[k, j] = (prod_{j<i<=k} A_i) B_j.
+
+    Built with an O(N^2) static loop of (13,13)x(13,12) matmuls — N is small
+    (10-20) and everything fuses; the result feeds the big MXU matmuls
+    H = B_qpᵀ Q̄ B_qp.
+    """
+    N = Ad.shape[0]
+    dtype = Ad.dtype
+
+    # Phi[k] = A_{k} ... A_0  (state transition from 0 to k+1)
+    Phi = [Ad[0]]
+    for k in range(1, N):
+        Phi.append(Ad[k] @ Phi[-1])
+    A_qp = jnp.concatenate(Phi, axis=0)  # (N*NX, NX)
+
+    # Row recurrence: row_k = A_k @ row_{k-1} + e_k ⊗ B_k  — O(N^2) small matmuls.
+    rows = []
+    row = jnp.zeros((NX, N * NU), dtype)
+    for k in range(N):
+        row = Ad[k] @ row if k > 0 else row
+        row = row.at[:, k * NU : (k + 1) * NU].set(Bd[k])
+        rows.append(row)
+    B_qp = jnp.concatenate(rows, axis=0)  # (N*NX, N*NU)
+    return A_qp, B_qp
+
+
+def rollout(
+    Ad: jnp.ndarray, Bd: jnp.ndarray, x0: jnp.ndarray, U: jnp.ndarray
+) -> jnp.ndarray:
+    """Simulate x_{k+1} = A_k x_k + B_k u_k; returns (N+1, NX) incl. x0."""
+    N = Ad.shape[0]
+    xs = [x0]
+    for k in range(N):
+        xs.append(Ad[k] @ xs[-1] + Bd[k] @ U[k])
+    return jnp.stack(xs)

@@ -1,0 +1,171 @@
+"""SRBD MPC: condensed dense QP over contact forces, solved by the batched ADMM.
+
+TPU-native reimplementation of the reference's C++ ``mpc_to_wbid_node`` /
+``srbd_mpc`` submodule (contract in SURVEY.md §2.3): condensed A_qp/B_qp
+lifting, ``H = B_qpᵀ Q̄ B_qp + R̄``, friction-pyramid stacking, and the QP solve
+that the reference does per tick on CPU with qpOASES/OSQP. Everything here is a
+pure function of ``(params, state, references)`` — jit once, ``vmap`` over
+thousands of scenarios.
+
+Contact masking is static-shape: inactive contacts keep their QP columns but
+are boxed to f = 0 (fz bounds collapse to [0,0]; the pyramid rows then force
+fx = fy = 0) — the TPU-friendly equivalent of the reference's row removal.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from g1_locomotion_tpu.models import srbd
+from g1_locomotion_tpu.models.srbd import NC, NU, NX
+from g1_locomotion_tpu.ops import qp as qplib
+
+
+class MPCConfig(NamedTuple):
+    """Static MPC configuration (shapes depend on horizon)."""
+
+    horizon: int = 10          # N (BASELINE.json: N~10)
+    dt: float = 0.04           # MPC discretization (run_simulation.py:169)
+    mu: float = 0.8            # friction coefficient (wbid.py:17)
+    fz_min: float = 10.0       # min normal force in stance [N] (wbid.py:123)
+    fz_max: float = 1000.0     # max normal force [N] (wbid.py:124)
+    qp: qplib.QPConfig = qplib.QPConfig(iters=60, scaling_iters=0, rho=1.0,
+                                        rho_segments=2)
+
+
+class MPCWeights(NamedTuple):
+    """Diagonal cost weights (pytree — sweepable via vmap)."""
+
+    Q: jnp.ndarray  # (NX,) state weights
+    R: jnp.ndarray  # (NU,) force regularization
+
+
+def default_weights(dtype=jnp.float32) -> MPCWeights:
+    # Di Carlo-style weighting: orientation, position, rates; gravity row 0.
+    Q = jnp.array(
+        [150.0, 150.0, 100.0,   # theta rpy
+         200.0, 200.0, 500.0,   # p com
+         1.0, 1.0, 1.0,         # omega
+         10.0, 10.0, 10.0,      # v com
+         0.0],                  # g (uncontrollable)
+        dtype,
+    )
+    R = jnp.full((NU,), 1e-5, dtype)
+    return MPCWeights(Q=Q, R=R)
+
+
+class MPCSolution(NamedTuple):
+    u0: jnp.ndarray        # (NU,) first-step GRFs — the reference's u_opt0
+    U: jnp.ndarray         # (N, NU) full force plan (warm-start state)
+    x_horizon: jnp.ndarray # (N+1, NX) predicted states, row 0 = x0 (x_opt)
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
+
+
+def _constraint_blocks(cfg: MPCConfig, dtype):
+    """Static per-contact friction-pyramid rows (5 rows per contact per step):
+
+        -inf <=  fx - mu*fz <= 0
+        -inf <= -fx - mu*fz <= 0
+        -inf <=  fy - mu*fz <= 0
+        -inf <= -fy - mu*fz <= 0
+        active*fz_min <= fz <= active*fz_max
+    """
+    mu = cfg.mu
+    C1 = jnp.array(
+        [
+            [1.0, 0.0, -mu],
+            [-1.0, 0.0, -mu],
+            [0.0, 1.0, -mu],
+            [0.0, -1.0, -mu],
+            [0.0, 0.0, 1.0],
+        ],
+        dtype,
+    )
+    return C1  # (5, 3)
+
+
+def build_qp(
+    cfg: MPCConfig,
+    weights: MPCWeights,
+    params: srbd.SRBDParams,
+    x0: jnp.ndarray,            # (NX,)
+    x_ref: jnp.ndarray,         # (N, NX) references for x_1..x_N
+    contact_horizon: jnp.ndarray,  # (N, NC) 0/1 flags
+    c_horizon: jnp.ndarray,     # (N, NC, 3) world contact positions
+    p_com_horizon: jnp.ndarray, # (N, 3) CoM positions for lever arms
+):
+    """Assemble the condensed QP (H, g, A, l, u) + lifting matrices."""
+    N = cfg.horizon
+    dtype = x0.dtype
+
+    # Per-step linearization: yaw from the reference trajectory (the reference
+    # linearizes about current yaw; using the ref-yaw per step generalizes it).
+    yaw_hor = x_ref[:, 2]
+    r_hor = c_horizon - p_com_horizon[:, None, :]  # (N, NC, 3)
+
+    def step_mats(yaw, r):
+        A_c, B_c = srbd.continuous_matrices(params, yaw, r)
+        return srbd.discretize(A_c, B_c, cfg.dt)
+
+    Ad, Bd = jax.vmap(step_mats)(yaw_hor, r_hor)  # (N,NX,NX), (N,NX,NU)
+
+    A_qp, B_qp = srbd.condense(Ad, Bd)  # (N*NX, NX), (N*NX, N*NU)
+
+    Qbar = jnp.tile(weights.Q, N)  # (N*NX,)
+    Rbar = jnp.tile(weights.R, N)
+
+    # H = B'QB + R ; g = B'Q (A x0 - X_ref)
+    BtQ = B_qp.T * Qbar[None, :]
+    H = BtQ @ B_qp + jnp.diag(Rbar)
+    resid = A_qp @ x0 - x_ref.reshape(N * NX)
+    g = BtQ @ resid
+
+    # Friction cones, blockdiag over (N, NC).
+    C1 = _constraint_blocks(cfg, dtype)
+    A_con = jnp.kron(jnp.eye(N * NC, dtype=dtype), C1)  # (N*NC*5, N*NU)
+
+    act = contact_horizon.reshape(N * NC)
+    neg_inf = jnp.asarray(-1e20, dtype)
+    l_blk = jnp.stack(
+        [neg_inf * jnp.ones_like(act)] * 4 + [cfg.fz_min * act], axis=1
+    )  # (N*NC, 5)
+    u_blk = jnp.stack(
+        [jnp.zeros_like(act)] * 4 + [cfg.fz_max * act], axis=1
+    )
+    l = l_blk.reshape(-1)
+    u = u_blk.reshape(-1)
+
+    return H, g, A_con, l, u, A_qp, B_qp, Ad, Bd
+
+
+def solve(
+    cfg: MPCConfig,
+    weights: MPCWeights,
+    params: srbd.SRBDParams,
+    x0: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    contact_horizon: jnp.ndarray,
+    c_horizon: jnp.ndarray,
+    p_com_horizon: jnp.ndarray,
+    U_warm: Optional[jnp.ndarray] = None,
+) -> MPCSolution:
+    """One MPC solve — the reference's ``MPC.update(...)`` (run_simulation.py:106).
+
+    Returns first-step forces u0 (the reference's u_opt0) and the predicted
+    state horizon (x_opt; row 1 is the WBID reference, ros_run_simulation.py:409).
+    """
+    N = cfg.horizon
+    H, g, A_con, l, u, A_qp, B_qp, Ad, Bd = build_qp(
+        cfg, weights, params, x0, x_ref, contact_horizon, c_horizon, p_com_horizon
+    )
+    x0_warm = None if U_warm is None else U_warm.reshape(N * NU)
+    sol = qplib.solve_qp(H, g, A_con, l, u, cfg=cfg.qp, x0=x0_warm)
+    U = sol.x.reshape(N, NU)
+    x_hor = srbd.rollout(Ad, Bd, x0, U)
+    return MPCSolution(
+        u0=U[0], U=U, x_horizon=x_hor, pri_res=sol.pri_res, dua_res=sol.dua_res
+    )

@@ -1,0 +1,259 @@
+"""Batched dense QP solver (OSQP-style ADMM) — pure JAX, jit/vmap-native.
+
+This is the TPU-native replacement for the reference's per-tick CPU QP solves:
+qpOASES/OSQP inside the SRBD MPC node (SURVEY.md §2.3, BASELINE.json) and
+eiQuadProg/qpOASES behind OpenSoT's iHQP for WBID (reference wbid.py:224).
+One solver serves both problems; thousands of instances run per chip via
+``vmap``, and the factorization/back-substitution matmuls map onto the MXU.
+
+Problem form (OSQP):
+    min  0.5 xᵀ P x + qᵀ x    s.t.  l <= A x <= u
+
+Design for XLA:
+* Fixed iteration count (static shapes, no data-dependent control flow).
+* One Cholesky factorization of K = P + sigma*I + Aᵀ diag(rho) A per solve;
+  each iteration is two triangular solves + matvecs -> batched MXU work.
+* Per-row rho: equality rows (l == u) get a stiffer penalty, as in OSQP.
+* Optional Ruiz equilibration (fixed sweeps) for conditioning under contact
+  switching (SURVEY.md §7 "hard parts").
+* Optional polish step: active-set detection + one masked KKT solve to push
+  KKT residuals to ~machine precision while keeping static shapes.
+
+All functions are single-problem; wrap in ``jax.vmap`` for batching (see
+``solve_batch``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class QPSolution(NamedTuple):
+    x: jnp.ndarray  # (n,) primal
+    z: jnp.ndarray  # (m,) projected constraint values
+    y: jnp.ndarray  # (m,) dual
+    pri_res: jnp.ndarray  # scalar ||Ax - z||_inf
+    dua_res: jnp.ndarray  # scalar ||Px + q + A'y||_inf
+
+
+class QPConfig(NamedTuple):
+    iters: int = 60
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    scaling_iters: int = 5  # Ruiz sweeps (0 = off)
+    polish: bool = True
+    polish_reg: float = 1e-9
+    rho_segments: int = 4  # spectral rho updates + refactor between segments
+
+
+def _inf_norm(v):
+    return jnp.max(jnp.abs(v))
+
+
+def _ruiz_equilibrate(P, q, A, l, u, iters: int):
+    """Modified Ruiz equilibration on the stacked KKT matrix [[P, Aᵀ], [A, 0]].
+
+    Returns scaled (P, q, A, l, u) and the diagonal scalings (d, e, c) with
+    x = d * x_scaled, y = c⁻¹ e * y_scaled... (we only need to unscale at the
+    end: x* = d ⊙ x̂, y* = (e ⊙ ŷ) / c).
+    """
+    n, m = P.shape[0], A.shape[0]
+    d = jnp.ones(n, P.dtype)
+    e = jnp.ones(m, P.dtype)
+    c = jnp.asarray(1.0, P.dtype)
+    for _ in range(iters):
+        # Column norms of the scaled KKT blocks.
+        Pn = jnp.max(jnp.abs(P), axis=0)
+        An = jnp.max(jnp.abs(A), axis=0)  # (n,)
+        ATn = jnp.max(jnp.abs(A), axis=1)  # (m,)
+        delta_d = 1.0 / jnp.sqrt(jnp.maximum(jnp.maximum(Pn, An), 1e-8))
+        delta_e = 1.0 / jnp.sqrt(jnp.maximum(ATn, 1e-8))
+        P = P * delta_d[:, None] * delta_d[None, :]
+        q = q * delta_d
+        A = A * delta_e[:, None] * delta_d[None, :]
+        d = d * delta_d
+        e = e * delta_e
+        # Cost scaling.
+        gamma = 1.0 / jnp.maximum(
+            jnp.maximum(jnp.mean(jnp.max(jnp.abs(P), axis=0)), _inf_norm(q)), 1e-8
+        )
+        P = P * gamma
+        q = q * gamma
+        c = c * gamma
+    l = e * l
+    u = e * u
+    return P, q, A, l, u, d, e, c
+
+
+def _factor(P, A, rho_vec, sigma):
+    K = (
+        P
+        + sigma * jnp.eye(P.shape[0], dtype=P.dtype)
+        + (A.T * rho_vec[None, :]) @ A
+    )
+    return jnp.linalg.cholesky(K)
+
+
+def _cho_solve(L, b):
+    w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+
+
+def solve_qp(
+    P: jnp.ndarray,
+    q: jnp.ndarray,
+    A: jnp.ndarray,
+    l: jnp.ndarray,
+    u: jnp.ndarray,
+    cfg: QPConfig = QPConfig(),
+    x0: Optional[jnp.ndarray] = None,
+    y0: Optional[jnp.ndarray] = None,
+) -> QPSolution:
+    """Solve one dense QP. All shapes static; safe under jit/vmap/scan."""
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+
+    if cfg.scaling_iters > 0:
+        P_s, q_s, A_s, l_s, u_s, d, e, c = _ruiz_equilibrate(
+            P, q, A, l, u, cfg.scaling_iters
+        )
+    else:
+        P_s, q_s, A_s, l_s, u_s = P, q, A, l, u
+        d = jnp.ones(n, dtype)
+        e = jnp.ones(m, dtype)
+        c = jnp.asarray(1.0, dtype)
+
+    is_eq = jnp.abs(u_s - l_s) < 1e-12
+    rho_vec = jnp.where(is_eq, cfg.rho * cfg.rho_eq_scale, cfg.rho).astype(dtype)
+
+    # Scaled variables: x̂ = x/d, ŷ = c·y/e (inverse of the unscaling below).
+    x = jnp.zeros(n, dtype) if x0 is None else x0 / d
+    z = A_s @ x
+    y = jnp.zeros(m, dtype) if y0 is None else y0 * c / e
+
+    def iterate(carry, L, rho_vec, num):
+        def body(_, carry):
+            x, z, y = carry
+            rhs = cfg.sigma * x - q_s + A_s.T @ (rho_vec * z - y)
+            x_t = _cho_solve(L, rhs)
+            z_t = A_s @ x_t
+            x_n = cfg.alpha * x_t + (1 - cfg.alpha) * x
+            z_ax = cfg.alpha * z_t + (1 - cfg.alpha) * z
+            z_n = jnp.clip(z_ax + y / rho_vec, l_s, u_s)
+            y_n = y + rho_vec * (z_ax - z_n)
+            return (x_n, z_n, y_n)
+
+        return jax.lax.fori_loop(0, num, body, carry)
+
+    # Segmented ADMM: between segments apply the OSQP spectral rho update
+    # rho *= sqrt(pri_res/dua_res) and refactor. Each refactor is one batched
+    # Cholesky — cheap relative to the iteration matvecs at these sizes.
+    segs = max(1, cfg.rho_segments)
+    per = max(1, cfg.iters // segs)
+    for s in range(segs):
+        L = _factor(P_s, A_s, rho_vec, cfg.sigma)
+        num = per if s < segs - 1 else cfg.iters - per * (segs - 1)
+        x, z, y = iterate((x, z, y), L, rho_vec, num)
+        if s < segs - 1:
+            Ax = A_s @ x
+            pri = _inf_norm(Ax - z) / jnp.maximum(
+                jnp.maximum(_inf_norm(Ax), _inf_norm(z)), 1e-6
+            )
+            dua = _inf_norm(P_s @ x + q_s + A_s.T @ y) / jnp.maximum(
+                jnp.maximum(
+                    _inf_norm(P_s @ x), jnp.maximum(_inf_norm(q_s), _inf_norm(A_s.T @ y))
+                ),
+                1e-6,
+            )
+            scale = jnp.clip(jnp.sqrt(pri / jnp.maximum(dua, 1e-12)), 1e-2, 1e2)
+            rho_vec = rho_vec * scale
+
+    if cfg.polish:
+        x, y = _polish(P_s, q_s, A_s, l_s, u_s, x, y, cfg)
+        z = jnp.clip(A_s @ x, l_s, u_s)
+
+    # Unscale.
+    x_out = d * x
+    y_out = e * y / c
+    z_out = z / e
+
+    pri_res = _inf_norm(A @ x_out - z_out)
+    dua_res = _inf_norm(P @ x_out + q + A.T @ y_out)
+    return QPSolution(x=x_out, z=z_out, y=y_out, pri_res=pri_res, dua_res=dua_res)
+
+
+def _polish(P, q, A, l, u, x, y, cfg: QPConfig, rounds: int = 3):
+    """Iterative active-set polish with static shapes.
+
+    Each round: guess the active set from dual signs *and* primal slacks of the
+    current iterate, solve the equality-KKT system where inactive rows are
+    masked to identity (forcing their dual to 0), and keep the result only if
+    the KKT residual improved. Re-detecting from the polished point fixes
+    weakly-active rows that ADMM's duals misclassify.
+    """
+    n, m = P.shape[0], A.shape[0]
+    dtype = P.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    def kkt(xx, yy):
+        zz = jnp.clip(A @ xx, l, u)
+        comp_low = jnp.minimum(yy, 0.0) * (A @ xx - l)
+        comp_up = jnp.maximum(yy, 0.0) * (A @ xx - u)
+        return jnp.maximum(
+            jnp.maximum(_inf_norm(A @ xx - zz), _inf_norm(P @ xx + q + A.T @ yy)),
+            jnp.maximum(_inf_norm(comp_low), _inf_norm(comp_up)),
+        )
+
+    best = kkt(x, y)
+    for _ in range(rounds):
+        Ax = A @ x
+        span = jnp.maximum(jnp.abs(u - l), 1.0)
+        slack_tol = 10.0 * jnp.maximum(best, 1e-12)
+        low_active = (y < -1e-10) | (Ax - l < jnp.minimum(slack_tol, 1e-4 * span))
+        upp_active = (y > 1e-10) | (u - Ax < jnp.minimum(slack_tol, 1e-4 * span))
+        # A row can't be active on both sides unless it's an equality.
+        is_eq = jnp.abs(u - l) < 1e-12
+        upp_active = jnp.where(is_eq, upp_active, upp_active & ~low_active)
+        active = low_active | upp_active
+        b_act = jnp.where(low_active, l, jnp.where(upp_active, u, 0.0))
+
+        mask = active.astype(dtype)
+        A_m = A * mask[:, None]
+        reg = cfg.polish_reg
+        top = jnp.concatenate([P + reg * eye_n, A_m.T], axis=1)
+        bot = jnp.concatenate([A_m, -jnp.diag(1.0 - mask) - reg * eye_m], axis=1)
+        K = jnp.concatenate([top, bot], axis=0)
+        rhs = jnp.concatenate([-q, b_act * mask])
+        sol = jnp.linalg.solve(K, rhs)
+        x_p, y_p = sol[:n], sol[n:]
+        res_p = kkt(x_p, y_p)
+        better = res_p < best
+        x = jnp.where(better, x_p, x)
+        y = jnp.where(better, y_p, y)
+        best = jnp.minimum(best, res_p)
+    return x, y
+
+
+def solve_batch(P, q, A, l, u, cfg: QPConfig = QPConfig(), x0=None, y0=None):
+    """vmapped batch solve over the leading axis of every argument."""
+    fn = lambda P, q, A, l, u: solve_qp(P, q, A, l, u, cfg)
+    return jax.vmap(fn)(P, q, A, l, u)
+
+
+def kkt_residuals(P, q, A, l, u, x, y):
+    """Primal/dual feasibility + complementarity residuals (for tests/metrics)."""
+    Ax = A @ x
+    pri = jnp.maximum(jnp.max(Ax - u), jnp.max(l - Ax))
+    pri = jnp.maximum(pri, 0.0)
+    dua = _inf_norm(P @ x + q + A.T @ y)
+    comp_low = jnp.minimum(y, 0.0) * (Ax - l)
+    comp_up = jnp.maximum(y, 0.0) * (Ax - u)
+    comp = jnp.maximum(_inf_norm(comp_low), _inf_norm(comp_up))
+    return pri, dua, comp
