@@ -1,0 +1,383 @@
+"""The fused control tick: gait -> MPC -> WBID -> whole-body integration.
+
+This is the TPU-native redesign of the reference's two-process architecture
+(SURVEY.md §1): instead of a MuJoCo sim node and an MPC ROS node exchanging
+``/srbd_current``/``/mpc_solution`` messages asynchronously
+(ros_run_simulation.py:501-504), the cascade is one pure function
+
+    (EngineState, params) -> (EngineState, TickLog)
+
+jitted once and rolled out with ``lax.scan``: an outer scan over MPC periods
+(dt = 0.04 s) with an inner scan over control ticks (dt = 0.001 s), matching
+the reference's rate decoupling (MPC slow, WBID 1 kHz) deterministically
+instead of latest-wins message passing.
+
+The plant is the whole-body kinematic rollout driven by the WBID's optimal
+accelerations (the "JAX SRBD rollout model replacing MuJoCo/ROS plumbing" of
+BASELINE.json) — MuJoCo remains available host-side for validation
+(tests/test_engine_mujoco.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from g1_locomotion_tpu.core import rotations as rot
+from g1_locomotion_tpu.engine.state import q_init_standing
+from g1_locomotion_tpu.gait import footsteps as fs
+from g1_locomotion_tpu.gait import schedule as gs
+from g1_locomotion_tpu.gait import swing as sw
+from g1_locomotion_tpu.models import robot as rb
+from g1_locomotion_tpu.models import srbd
+from g1_locomotion_tpu.models.robot import RobotModel
+from g1_locomotion_tpu.mpc import solver as mpc
+from g1_locomotion_tpu.wbid import solver as wbid
+from g1_locomotion_tpu.wbid.stack import StackIndices
+from g1_locomotion_tpu.wbid.tasks import WBIDGains, WBIDReferences, default_gains
+
+
+class EngineConfig(NamedTuple):
+    """Static engine configuration."""
+
+    mpc: mpc.MPCConfig = mpc.MPCConfig()
+    wbid: wbid.WBIDConfig = wbid.WBIDConfig()
+    ticks_per_mpc: int = 40  # 0.04 / 0.001 (run_simulation.py:169 vs :172)
+    max_swing_height: float = 0.05  # m (ros_run_simulation.py:294)
+    com_height: float = 0.598  # standing CoM target (run_simulation.py:81)
+
+
+class ScenarioParams(NamedTuple):
+    """Per-scenario randomizable parameters (a pytree — vmap axis 0)."""
+
+    srbd: srbd.SRBDParams
+    mpc_weights: mpc.MPCWeights
+    wbid_gains: WBIDGains
+    gait: gs.GaitConfig
+    steps: fs.FootstepConfig
+    v_cmd: jnp.ndarray  # (2,) commanded planar velocity
+
+
+def default_scenario(dtype=jnp.float32) -> ScenarioParams:
+    return ScenarioParams(
+        srbd=srbd.default_params(dtype),
+        mpc_weights=mpc.default_weights(dtype),
+        wbid_gains=default_gains(dtype),
+        gait=gs.default_gait(dtype),
+        steps=fs.default_footsteps(dtype),
+        v_cmd=jnp.zeros(2, dtype),
+    )
+
+
+class EngineState(NamedTuple):
+    """Carried state of the closed loop (pytree)."""
+
+    q: jnp.ndarray            # (nq,) whole-body configuration
+    v: jnp.ndarray            # (nv,) generalized velocity
+    t: jnp.ndarray            # scalar sim time
+    U_warm: jnp.ndarray       # (N, 12) MPC warm start
+    u0: jnp.ndarray           # (12,) latest MPC forces
+    x_opt1: jnp.ndarray       # (13,) latest MPC next-state reference
+    contact_now: jnp.ndarray  # (4,) latest MPC contact flags
+    landing: jnp.ndarray      # (3,) planned touchdown point
+    swing_start: jnp.ndarray  # (2, 3) lift-off positions per foot
+    contact_hold: jnp.ndarray # (2, 3) stance target positions (reset poses)
+    contact_hold_R: jnp.ndarray  # (2, 3, 3)
+    prev_in_swing: jnp.ndarray   # scalar bool-ish: was a foot swinging last tick
+
+
+class TickLog(NamedTuple):
+    """Per-tick diagnostics (the PlotJuggler tab contents, SURVEY.md §2.1 row 13)."""
+
+    com: jnp.ndarray
+    tau: jnp.ndarray
+    forces: jnp.ndarray
+    contact: jnp.ndarray
+    mpc_pri_res: jnp.ndarray
+    wbid_pri_res: jnp.ndarray
+
+
+def init_state(model: RobotModel, cfg: EngineConfig, dtype=jnp.float32) -> EngineState:
+    q = q_init_standing(model, dtype)
+    X = rb.fk(model, q)
+    idx = StackIndices.from_model(model)
+    feet = jnp.stack([rb.frame_pose(model, X, f).p for f in idx.feet])
+    feet_R = jnp.stack([rb.frame_pose(model, X, f).R for f in idx.feet])
+    N = cfg.mpc.horizon
+    return EngineState(
+        q=q,
+        v=jnp.zeros(model.nv, dtype),
+        t=jnp.asarray(0.0, dtype),
+        U_warm=jnp.zeros((N, 12), dtype),
+        u0=jnp.zeros(12, dtype),
+        x_opt1=jnp.zeros(13, dtype),
+        contact_now=jnp.ones(4, dtype),
+        landing=feet[0],
+        swing_start=feet,
+        contact_hold=feet,
+        contact_hold_R=feet_R,
+        prev_in_swing=jnp.asarray(0.0, dtype),
+    )
+
+
+def srbd_state_from_wholebody(
+    model: RobotModel, q: jnp.ndarray, v: jnp.ndarray, body_X
+) -> jnp.ndarray:
+    """Pack the 13-dim SRBD state from the whole-body state — the analogue of
+    publish_current_state (ros_run_simulation.py:21-79,428-450)."""
+    theta = rot.quat_to_rpy(q[3:7])
+    com = rb.com_position(model, body_X)
+    base_R = body_X.R[0]
+    omega_world = base_R @ v[3:6]
+    com_vel = rb.com_velocity(model, q, v, body_X)
+    g = jnp.asarray(srbd.GRAVITY, q.dtype)
+    return jnp.concatenate([theta, com, omega_world, com_vel, g[None]])
+
+
+def _mpc_stage(
+    model: RobotModel,
+    idx: StackIndices,
+    cfg: EngineConfig,
+    params: ScenarioParams,
+    state: EngineState,
+):
+    """Periodic MPC solve — the reference's mpc_to_wbid_node turn (SURVEY §3.2)."""
+    dtype = state.q.dtype
+    N = cfg.mpc.horizon
+    body_X = rb.fk(model, state.q)
+    x0 = srbd_state_from_wholebody(model, state.q, state.v, body_X)
+
+    # Gait over the horizon.
+    contact_hor = gs.contact_horizon(params.gait, state.t, N, cfg.mpc.dt)
+    step_idx, in_swing, swing_is_left, _ = gs.phase_info(params.gait, state.t)
+
+    # Current contact point positions (4: L-heel, L-toe, R-heel, R-toe).
+    cpos = jnp.stack(
+        [rb.frame_pose(model, body_X, f).p for f in idx.contacts]
+    )  # (4,3)
+
+    # Footstep plan: landing position for the current/next swing.
+    landing = fs.fixed_plan(
+        params.steps,
+        step_idx,
+        swing_is_left,
+        state.contact_hold[0][:2] * 0.0 + jnp.array([0.0, 0.0], dtype),
+    )
+    landing = landing + jnp.concatenate([params.v_cmd * 0.0, jnp.zeros(1, dtype)])
+
+    # Horizon contact positions: stance contacts at their current position; the
+    # swing-side contacts switch to the planned landing point for horizon steps
+    # after touchdown (the reference's MPC node plans with landing_position the
+    # same way, SURVEY.md §2.3).
+    heel_toe_xy = jnp.array([[-0.05, 0.0, 0.0], [0.12, 0.0, 0.0]], dtype)
+    # Heel/toe frame offsets from the foot center (g1_23dof.urdf:288,293);
+    # landing z inherits the current measured contact height.
+    contact_z = jnp.mean(cpos[:, 2])
+    landing_pts = landing[None, :] + heel_toe_xy
+    landing_pts = landing_pts.at[:, 2].set(contact_z)
+
+    # Absolute end time of the current/upcoming swing window.
+    half = params.gait.swing_duration + params.gait.double_support_duration
+    swing_end = (
+        params.gait.start_time
+        + step_idx * half
+        + params.gait.double_support_duration
+        + params.gait.swing_duration
+    )
+    ts = state.t + cfg.mpc.dt * jnp.arange(N, dtype=dtype)
+    after_touchdown = ts >= swing_end  # (N,)
+    in_step = (step_idx >= 0) & (step_idx < params.gait.n_steps)
+
+    swing_side = jnp.where(swing_is_left, 0, 1)  # 0 = left
+    c_hor = jnp.tile(cpos[None], (N, 1, 1))
+    for i in range(2):  # heel/toe of the swinging side
+        # Static column pair selected dynamically by swing side.
+        col_left = i          # L-heel / L-toe
+        col_right = 2 + i     # R-heel / R-toe
+        use_landing = after_touchdown & in_step
+        new_left = jnp.where(
+            (use_landing & (swing_side == 0))[:, None],
+            landing_pts[i][None, :],
+            c_hor[:, col_left],
+        )
+        new_right = jnp.where(
+            (use_landing & (swing_side == 1))[:, None],
+            landing_pts[i][None, :],
+            c_hor[:, col_right],
+        )
+        c_hor = c_hor.at[:, col_left].set(new_left).at[:, col_right].set(new_right)
+
+    # Reference horizon: hold position/height, track commanded velocity
+    # (run_simulation.py:80-82 generalized with v_cmd).
+    ks = jnp.arange(1, N + 1, dtype=dtype)[:, None]
+    p_ref = jnp.concatenate(
+        [
+            x0[3:5][None, :] + ks * cfg.mpc.dt * params.v_cmd[None, :],
+            jnp.full((N, 1), cfg.com_height, dtype),
+        ],
+        axis=1,
+    )
+    x_ref = jnp.zeros((N, 13), dtype)
+    x_ref = x_ref.at[:, 3:6].set(p_ref)
+    x_ref = x_ref.at[:, 9:11].set(jnp.tile(params.v_cmd[None, :], (N, 1)))
+    x_ref = x_ref.at[:, 12].set(jnp.asarray(srbd.GRAVITY, dtype))
+
+    sol = mpc.solve(
+        cfg.mpc,
+        params.mpc_weights,
+        params.srbd,
+        x0,
+        x_ref,
+        contact_hor,
+        c_hor,
+        p_ref,
+        U_warm=state.U_warm,
+    )
+    return state._replace(
+        U_warm=sol.U,
+        u0=sol.u0,
+        x_opt1=sol.x_horizon[1],
+        contact_now=contact_hor[0],
+        landing=landing,
+    ), sol
+
+
+def _wbid_tick(
+    model: RobotModel,
+    idx: StackIndices,
+    cfg: EngineConfig,
+    params: ScenarioParams,
+    state: EngineState,
+) -> Tuple[EngineState, TickLog]:
+    """One 1 kHz control tick: gait FSM -> WBID refs -> QP -> integrate
+    (the reference's sim_step, ros_run_simulation.py:341-489)."""
+    dtype = state.q.dtype
+    body_X = rb.fk(model, state.q)
+
+    # Contact FSM from the MPC's active flags (ros_run_simulation.py:374-399).
+    left_active = jnp.maximum(state.contact_now[0], state.contact_now[1])
+    right_active = jnp.maximum(state.contact_now[2], state.contact_now[3])
+    contact_active = jnp.stack([left_active, right_active])
+
+    _, in_swing, swing_is_left, progress = gs.phase_info(params.gait, state.t)
+    swing_started = (in_swing > 0) & (state.prev_in_swing < 0.5)
+
+    # On swing start: latch lift-off positions (feet_gait_procedure,
+    # ros_run_simulation.py:284-322) and the stance reset pose.
+    feet_now = jnp.stack([rb.frame_pose(model, body_X, f).p for f in idx.feet])
+    feet_R_now = jnp.stack([rb.frame_pose(model, body_X, f).R for f in idx.feet])
+    swing_start = jnp.where(swing_started, feet_now, state.swing_start)
+    contact_hold = jnp.where(swing_started, feet_now, state.contact_hold)
+    contact_hold_R = jnp.where(swing_started, feet_R_now, state.contact_hold_R)
+
+    # Swing trajectory for each foot (only the swinging one is weighted in).
+    def swing_refs(side):
+        is_this = jnp.where(swing_is_left, side == 0, side == 1)
+        p_start = swing_start[side]
+        p_end = state.landing
+        sp = sw.SwingParams(
+            p_start=p_start,
+            p_end=p_end,
+            z_apex=jnp.asarray(cfg.max_swing_height, dtype),
+        )
+        pos, vel, acc = sw.evaluate(sp, progress, params.gait.swing_duration)
+        # Mirror the reference: xy velocity feedforward zeroed
+        # (ros_run_simulation.py:256-257).
+        vel = vel.at[0:2].set(0.0)
+        acc = acc.at[0:2].set(0.0)
+        hold = feet_now[side]
+        return (
+            jnp.where(is_this & (in_swing > 0), pos, hold),
+            jnp.where(is_this & (in_swing > 0), vel, jnp.zeros(3, dtype)),
+            jnp.where(is_this & (in_swing > 0), acc, jnp.zeros(3, dtype)),
+        )
+
+    sw0 = swing_refs(0)
+    sw1 = swing_refs(1)
+
+    # Base/CoM references from the latest MPC solution (wbid.py:243-294).
+    x1 = state.x_opt1
+    base_R_ref = rot.rpy_to_matrix(x1[0:3])
+    cpos = jnp.stack([rb.frame_pose(model, body_X, f).p for f in idx.contacts])
+    r = cpos - x1[3:6][None, :]
+    inertia_inv = jnp.linalg.inv(params.srbd.inertia)
+    sum_r_cross_w = jnp.sum(jnp.cross(r, jnp.tile(x1[6:9][None], (4, 1))), axis=0)
+    base_angacc = inertia_inv @ sum_r_cross_w  # (wbid.py:269-282)
+    gvec = jnp.array([0.0, 0.0, srbd.GRAVITY], dtype)
+    com_acc = jnp.sum(state.u0.reshape(4, 3), axis=0) / params.srbd.mass + gvec
+
+    refs = WBIDReferences(
+        com_pos=x1[3:6],
+        com_vel=x1[9:12],
+        com_acc=com_acc,
+        base_R=base_R_ref,
+        base_angvel=x1[6:9],
+        base_angacc=base_angacc,
+        posture_q=q_init_standing(model, dtype)[7:],
+        contact_pos=contact_hold,
+        contact_R=contact_hold_R,
+        swing_pos=jnp.stack([sw0[0], sw1[0]]),
+        swing_vel=jnp.stack([sw0[1], sw1[1]]),
+        swing_acc=jnp.stack([sw0[2], sw1[2]]),
+        swing_R=contact_hold_R,
+        f_des=state.u0.reshape(4, 3),
+        contact_active=contact_active,
+    )
+
+    sol = wbid.solve(
+        model, idx, cfg.wbid, params.wbid_gains, state.q, state.v, refs
+    )
+
+    # Whole-body plant: integrate the WBID accelerations (semi-implicit Euler).
+    dt = cfg.wbid.dt
+    v_new = state.v + dt * sol.qddot
+    q_new = rb.integrate_q(model, state.q, v_new, dt)
+
+    log = TickLog(
+        com=rb.com_position(model, body_X),
+        tau=sol.tau,
+        forces=sol.forces,
+        contact=state.contact_now,
+        mpc_pri_res=jnp.zeros((), dtype),
+        wbid_pri_res=sol.pri_res,
+    )
+    new_state = state._replace(
+        q=q_new,
+        v=v_new,
+        t=state.t + dt,
+        swing_start=swing_start,
+        contact_hold=contact_hold,
+        contact_hold_R=contact_hold_R,
+        prev_in_swing=jnp.where(in_swing > 0, 1.0, 0.0).astype(dtype),
+    )
+    return new_state, log
+
+
+def make_rollout(model: RobotModel, cfg: EngineConfig):
+    """Build the jittable closed-loop rollout: n_mpc_periods of
+    [MPC solve; ticks_per_mpc x WBID tick]."""
+    idx = StackIndices.from_model(model)
+
+    def period(state: EngineState, params: ScenarioParams):
+        state, mpc_sol = _mpc_stage(model, idx, cfg, params, state)
+
+        def tick(s, _):
+            return _wbid_tick(model, idx, cfg, params, s)
+
+        state, logs = jax.lax.scan(
+            tick, state, None, length=cfg.ticks_per_mpc
+        )
+        logs = logs._replace(
+            mpc_pri_res=jnp.broadcast_to(mpc_sol.pri_res, logs.mpc_pri_res.shape)
+        )
+        return state, logs
+
+    def rollout(state: EngineState, params: ScenarioParams, n_periods: int):
+        def body(s, _):
+            return period(s, params)
+
+        return jax.lax.scan(body, state, None, length=n_periods)
+
+    return rollout

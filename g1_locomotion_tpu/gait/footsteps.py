@@ -1,0 +1,68 @@
+"""Footstep planning: landing positions for the swing foot.
+
+TPU-native equivalent of the footstep planner inside the reference's
+``mpc_to_wbid_node`` (SURVEY.md §2.3: the node publishes ``landing_position``,
+consumed at ros_run_simulation.py:218). Two planners:
+
+* :func:`fixed_plan` — the walking-demo behavior (BASELINE.json config 1):
+  a straight-line forward plan with constant step length.
+* :func:`raibert` — velocity-tracking heuristic for commanded velocities
+  (the domain-randomization sweeps command arbitrary velocities).
+
+Both are pure functions -> vmappable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class FootstepConfig(NamedTuple):
+    step_length: jnp.ndarray   # m forward per step
+    step_width: jnp.ndarray    # lateral half-distance between feet (y offset)
+    raibert_gain: jnp.ndarray  # feedback gain on velocity error
+
+
+def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
+    return FootstepConfig(
+        step_length=jnp.asarray(0.10, dtype),
+        step_width=jnp.asarray(0.12, dtype),
+        raibert_gain=jnp.asarray(0.03, dtype),
+    )
+
+
+def fixed_plan(
+    cfg: FootstepConfig,
+    step_idx: jnp.ndarray,
+    swing_is_left: jnp.ndarray,
+    x0_foot: jnp.ndarray,  # (2,) initial foot x,y at gait start (per side)
+) -> jnp.ndarray:
+    """Landing (x, y, z=0) for the given step of a straight-line walk.
+
+    Step k advances the swinging foot to ``start + (k//2 + 1) * step_length``
+    so feet leapfrog forward alternately.
+    """
+    advance = (jnp.floor(step_idx / 2.0) + 1.0) * cfg.step_length
+    x = x0_foot[0] + advance
+    y = jnp.where(swing_is_left, cfg.step_width, -cfg.step_width)
+    return jnp.stack([x, y, jnp.zeros_like(x)])
+
+
+def raibert(
+    cfg: FootstepConfig,
+    com_pos: jnp.ndarray,     # (3,)
+    com_vel: jnp.ndarray,     # (3,)
+    v_cmd: jnp.ndarray,       # (2,) commanded planar velocity
+    swing_is_left: jnp.ndarray,
+    stance_duration: jnp.ndarray,
+) -> jnp.ndarray:
+    """Raibert touchdown: p = p_com + v*T/2 + k*(v - v_cmd), lateral offset."""
+    p_xy = (
+        com_pos[:2]
+        + com_vel[:2] * (stance_duration / 2.0)
+        + cfg.raibert_gain * (com_vel[:2] - v_cmd)
+    )
+    y_off = jnp.where(swing_is_left, cfg.step_width, -cfg.step_width)
+    return jnp.stack([p_xy[0], p_xy[1] + y_off, jnp.zeros_like(p_xy[0])])

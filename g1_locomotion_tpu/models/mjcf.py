@@ -54,6 +54,7 @@ def export_mjcf(
     with_floor: bool = False,
     foot_friction: float = 0.8,
     timestep: float = 0.001,
+    with_limits: bool = None,
 ) -> str:
     """Build an MJCF document from the robot spec.
 
@@ -61,7 +62,13 @@ def export_mjcf(
     (spanning heel/toe line-contact frames), plus torque actuators for every
     joint — enough to replicate the reference's closed-loop MuJoCo validation
     (1 kHz timestep, ros_run_simulation.py:172).
+
+    with_limits defaults to with_floor: dynamics-oracle exports omit joint
+    limits (mj_inverse would otherwise add constraint forces our pure RNEA
+    doesn't model), closed-loop exports keep them.
     """
+    if with_limits is None:
+        with_limits = with_floor
     children: List[List[int]] = [[] for _ in spec.bodies]
     for i, b in enumerate(spec.bodies):
         if b.parent >= 0:
@@ -91,7 +98,7 @@ def export_mjcf(
             lines.append(f'{indent}  <freejoint name="root"/>')
         else:
             rng = ""
-            if np.isfinite(b.joint.limit_lower) and np.isfinite(b.joint.limit_upper):
+            if with_limits and np.isfinite(b.joint.limit_lower) and np.isfinite(b.joint.limit_upper):
                 rng = f' range="{b.joint.limit_lower:.12g} {b.joint.limit_upper:.12g}" limited="true"'
             lines.append(
                 f'{indent}  <joint name="{b.joint.name}" type="hinge" pos="0 0 0" '

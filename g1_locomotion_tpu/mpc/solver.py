@@ -66,16 +66,24 @@ class MPCSolution(NamedTuple):
 
 
 def _constraint_blocks(cfg: MPCConfig, dtype):
-    """Static per-contact friction-pyramid rows (5 rows per contact per step):
+    """Per-contact constraint rows (5 rows per contact per step).
 
+    Active contact — friction pyramid + normal-force bounds:
         -inf <=  fx - mu*fz <= 0
         -inf <= -fx - mu*fz <= 0
         -inf <=  fy - mu*fz <= 0
         -inf <= -fy - mu*fz <= 0
-        active*fz_min <= fz <= active*fz_max
+        fz_min <= fz <= fz_max
+
+    Inactive contact — the same 5 rows are *rewritten* (same shapes, different
+    values) into clean equalities f = 0:
+         fx = 0 ; fy = 0 ; fz = 0 ; two trivial 0<=0<=0 rows.
+    This avoids the degenerate pyramid at fz=0 (linearly dependent rows that
+    stall ADMM and break the polish KKT solve) — the TPU-static equivalent of
+    the reference removing inactive-contact variables.
     """
     mu = cfg.mu
-    C1 = jnp.array(
+    C_active = jnp.array(
         [
             [1.0, 0.0, -mu],
             [-1.0, 0.0, -mu],
@@ -85,7 +93,17 @@ def _constraint_blocks(cfg: MPCConfig, dtype):
         ],
         dtype,
     )
-    return C1  # (5, 3)
+    C_inactive = jnp.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0],
+        ],
+        dtype,
+    )
+    return C_active, C_inactive  # each (5, 3)
 
 
 def build_qp(
@@ -124,20 +142,25 @@ def build_qp(
     resid = A_qp @ x0 - x_ref.reshape(N * NX)
     g = BtQ @ resid
 
-    # Friction cones, blockdiag over (N, NC).
-    C1 = _constraint_blocks(cfg, dtype)
-    A_con = jnp.kron(jnp.eye(N * NC, dtype=dtype), C1)  # (N*NC*5, N*NU)
+    # Friction cones, blockdiag over (N, NC): per-contact 5x3 block chosen by
+    # the contact flag (active -> pyramid, inactive -> f=0 equalities).
+    C_act, C_inact = _constraint_blocks(cfg, dtype)
+    act = contact_horizon.reshape(N * NC)  # (NK,)
+    blocks = jnp.where(act[:, None, None] > 0.5, C_act[None], C_inact[None])
+    # Scatter blocks onto the block diagonal: (NK*5, NK*3).
+    NK = N * NC
+    eye = jnp.eye(NK, dtype=dtype)
+    A_con = (eye[:, None, :, None] * blocks[:, :, None, :]).reshape(NK * 5, NK * 3)
 
-    act = contact_horizon.reshape(N * NC)
     neg_inf = jnp.asarray(-1e20, dtype)
-    l_blk = jnp.stack(
-        [neg_inf * jnp.ones_like(act)] * 4 + [cfg.fz_min * act], axis=1
-    )  # (N*NC, 5)
-    u_blk = jnp.stack(
-        [jnp.zeros_like(act)] * 4 + [cfg.fz_max * act], axis=1
-    )
-    l = l_blk.reshape(-1)
-    u = u_blk.reshape(-1)
+    zeros = jnp.zeros_like(act)
+    l_act = jnp.stack([neg_inf + zeros] * 4 + [cfg.fz_min + zeros], axis=1)
+    u_act = jnp.stack([zeros] * 4 + [cfg.fz_max + zeros], axis=1)
+    l_in = jnp.zeros((NK, 5), dtype)
+    u_in = jnp.zeros((NK, 5), dtype)
+    mask = act[:, None] > 0.5
+    l = jnp.where(mask, l_act, l_in).reshape(-1)
+    u = jnp.where(mask, u_act, u_in).reshape(-1)
 
     return H, g, A_con, l, u, A_qp, B_qp, Ad, Bd
 

@@ -55,6 +55,9 @@ def _inf_norm(v):
     return jnp.max(jnp.abs(v))
 
 
+BIG = 1e20  # sentinel for +-infinity bounds
+
+
 def _ruiz_equilibrate(P, q, A, l, u, iters: int):
     """Modified Ruiz equilibration on the stacked KKT matrix [[P, Aᵀ], [A, 0]].
 
@@ -66,27 +69,49 @@ def _ruiz_equilibrate(P, q, A, l, u, iters: int):
     d = jnp.ones(n, P.dtype)
     e = jnp.ones(m, P.dtype)
     c = jnp.asarray(1.0, P.dtype)
+    # Track (un)bounded rows so scaling can't overflow the +-BIG sentinels
+    # (critical in float32, where repeated row scalings of 1e20 reach inf).
+    l_unb = l < -0.5 * BIG
+    u_unb = u > 0.5 * BIG
+    # OSQP-style clamps keep repeated sweeps from overflowing float32.
+    MIN_S, MAX_S = 1e-4, 1e4
     for _ in range(iters):
         # Column norms of the scaled KKT blocks.
         Pn = jnp.max(jnp.abs(P), axis=0)
         An = jnp.max(jnp.abs(A), axis=0)  # (n,)
         ATn = jnp.max(jnp.abs(A), axis=1)  # (m,)
-        delta_d = 1.0 / jnp.sqrt(jnp.maximum(jnp.maximum(Pn, An), 1e-8))
-        delta_e = 1.0 / jnp.sqrt(jnp.maximum(ATn, 1e-8))
+        # All-zero rows/columns (e.g. padding rows for inactive contacts) must
+        # stay unscaled, or e/d diverge to inf across sweeps (0*inf = NaN).
+        col_norm = jnp.maximum(Pn, An)
+        delta_d = jnp.where(
+            col_norm > 1e-12,
+            jnp.clip(1.0 / jnp.sqrt(jnp.maximum(col_norm, 1e-12)), MIN_S, MAX_S),
+            1.0,
+        )
+        delta_e = jnp.where(
+            ATn > 1e-12,
+            jnp.clip(1.0 / jnp.sqrt(jnp.maximum(ATn, 1e-12)), MIN_S, MAX_S),
+            1.0,
+        )
         P = P * delta_d[:, None] * delta_d[None, :]
         q = q * delta_d
         A = A * delta_e[:, None] * delta_d[None, :]
         d = d * delta_d
         e = e * delta_e
         # Cost scaling.
-        gamma = 1.0 / jnp.maximum(
-            jnp.maximum(jnp.mean(jnp.max(jnp.abs(P), axis=0)), _inf_norm(q)), 1e-8
+        gamma = jnp.clip(
+            1.0
+            / jnp.maximum(
+                jnp.maximum(jnp.mean(jnp.max(jnp.abs(P), axis=0)), _inf_norm(q)), 1e-12
+            ),
+            MIN_S,
+            MAX_S,
         )
         P = P * gamma
         q = q * gamma
         c = c * gamma
-    l = e * l
-    u = e * u
+    l = jnp.where(l_unb, -BIG, e * jnp.where(l_unb, 0.0, l))
+    u = jnp.where(u_unb, BIG, e * jnp.where(u_unb, 0.0, u))
     return P, q, A, l, u, d, e, c
 
 
@@ -115,6 +140,15 @@ def solve_qp(
     y0: Optional[jnp.ndarray] = None,
 ) -> QPSolution:
     """Solve one dense QP. All shapes static; safe under jit/vmap/scan."""
+    # ADMM convergence is precision-sensitive: on TPU, default f32 matmuls use
+    # reduced-precision passes that stall the iteration — force full precision
+    # for the solver's linear algebra (the arrays stay f32; only the MXU
+    # accumulation mode changes).
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_impl(P, q, A, l, u, cfg, x0, y0)
+
+
+def _solve_qp_impl(P, q, A, l, u, cfg, x0, y0) -> QPSolution:
     n = P.shape[0]
     m = A.shape[0]
     dtype = P.dtype
@@ -172,7 +206,9 @@ def solve_qp(
                 1e-6,
             )
             scale = jnp.clip(jnp.sqrt(pri / jnp.maximum(dua, 1e-12)), 1e-2, 1e2)
-            rho_vec = rho_vec * scale
+            # Cumulative clamp: runaway rho makes the K factorization
+            # numerically singular in float32.
+            rho_vec = jnp.clip(rho_vec * scale, 1e-4, 1e6)
 
     if cfg.polish:
         x, y = _polish(P_s, q_s, A_s, l_s, u_s, x, y, cfg)

@@ -1,0 +1,87 @@
+"""Device mesh + sharding helpers for scenario parallelism.
+
+The reference's only concurrency is two ROS processes on one machine
+(SURVEY.md §2.7); the TPU-native scale-out story is **scenario data
+parallelism**: every per-scenario cascade (gait -> MPC -> WBID -> rollout) is
+independent, so batches shard over a 1-D ``('scenario',)`` mesh with zero
+per-tick collectives — collectives appear only in sweep-statistics reductions
+(psum) and cross-host reporting (all_gather), riding ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SCENARIO_AXIS = "scenario"
+
+
+def scenario_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D mesh over all (or given) devices, axis name 'scenario'."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (SCENARIO_AXIS,))
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Place a batched pytree with its leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_spec(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(SCENARIO_AXIS))
+
+
+def replicated_spec(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def sharded_vmap(
+    mesh: Mesh,
+    fn: Callable,
+    *,
+    reduce_fn: Optional[Callable] = None,
+):
+    """vmap fn over the leading axis and shard it over the scenario mesh with
+    ``shard_map``; optionally reduce the outputs with a psum-based statistic.
+
+    fn: per-scenario function (single sample). reduce_fn (optional): maps the
+    local vmapped output -> statistics, which are then psum'd over the mesh
+    (the reference's /mpc_statistics aggregation, TPU-style).
+    """
+    from jax import shard_map
+
+    vf = jax.vmap(fn)
+
+    if reduce_fn is None:
+        def sharded(*args):
+            return shard_map(
+                vf,
+                mesh=mesh,
+                in_specs=P(SCENARIO_AXIS),
+                out_specs=P(SCENARIO_AXIS),
+                check_vma=False,
+            )(*args)
+        return jax.jit(sharded)
+
+    def local(*args):
+        out = vf(*args)
+        stats = reduce_fn(out)
+        stats = jax.tree_util.tree_map(
+            lambda s: jax.lax.psum(s, SCENARIO_AXIS), stats
+        )
+        return out, stats
+
+    def sharded(*args):
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(SCENARIO_AXIS),
+            out_specs=(P(SCENARIO_AXIS), P()),
+            check_vma=False,
+        )(*args)
+
+    return jax.jit(sharded)

@@ -1,0 +1,64 @@
+"""WBID solve + inverse-dynamics torque extraction.
+
+The per-tick flow mirrors the reference (SURVEY.md §2.4): updateModel ->
+setReference -> solveQP -> getInverseDynamics (wbid.py:227-324), fused into one
+pure function. Torques: tau = RNEA(q, dq, qddot) - sum_i Jc_i^T f_i, actuated
+part tau[6:] to the motors (wbid.py:316-324, ros_run_simulation.py:413-417).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from g1_locomotion_tpu.models import dynamics as dyn
+from g1_locomotion_tpu.models.robot import RobotModel
+from g1_locomotion_tpu.ops import qp as qplib
+from g1_locomotion_tpu.wbid.stack import NF, NX_F, StackIndices, build_qp
+from g1_locomotion_tpu.wbid.tasks import WBIDGains, WBIDReferences
+
+
+class WBIDConfig(NamedTuple):
+    dt: float = 0.001  # control tick (ros_run_simulation.py:172)
+    qp: qplib.QPConfig = qplib.QPConfig(
+        iters=50, scaling_iters=3, rho=0.1, rho_segments=2
+    )
+
+
+class WBIDSolution(NamedTuple):
+    qddot: jnp.ndarray          # (nv,)
+    forces: jnp.ndarray         # (NF, 3) contact forces
+    tau: jnp.ndarray            # (nj,) actuated torques
+    base_wrench_res: jnp.ndarray  # (6,) dynamic-feasibility residual (~0)
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
+
+
+def solve(
+    model: RobotModel,
+    idx: StackIndices,
+    cfg: WBIDConfig,
+    gains: WBIDGains,
+    q: jnp.ndarray,
+    v: jnp.ndarray,
+    refs: WBIDReferences,
+) -> WBIDSolution:
+    H, g, C, l, u, (M, h, Jc_T) = build_qp(model, idx, gains, q, v, refs, cfg.dt)
+    sol = qplib.solve_qp(H, g, C, l, u, cfg=cfg.qp)
+
+    nv = model.nv
+    qddot = sol.x[:nv]
+    forces = sol.x[nv:].reshape(NF, 3)
+
+    # tau = RNEA(q, v, qddot) - Jc^T f (wbid.py:316-324).
+    tau_full = dyn.rnea(model, q, v, qddot) - Jc_T @ sol.x[nv:]
+    base_res = tau_full[0:6]
+    return WBIDSolution(
+        qddot=qddot,
+        forces=forces,
+        tau=tau_full[6:],
+        base_wrench_res=base_res,
+        pri_res=sol.pri_res,
+        dua_res=sol.dua_res,
+    )

@@ -1,0 +1,360 @@
+"""WBID stack compiler: tasks/constraints -> dense QP blocks (pure JAX).
+
+Replaces OpenSoT's C++ ``AutoStack`` + ``iHQP`` machinery (reference
+wbid.py:29-224). Each task contributes a weighted least-squares block
+``(A_i, b_i, w_i)``; each constraint contributes rows ``(C_j, l_j, u_j)``. The
+assembled QP
+
+    min_x  sum_i w_i ||A_i x - b_i||^2     s.t.  l <= C x <= u
+    x = [qddot (nv), f (4 contacts x 3)]
+
+is solved by the shared batched ADMM (:mod:`g1_locomotion_tpu.ops.qp`).
+
+Task switching (stance<->swing) is expressed by *masking weights and bounds*
+(weights -> 0, wrench boxes -> [0,0]) with static shapes — the jit-compatible
+equivalent of the reference's imperative ``setActive``/``setWrenchLimits``
+(ros_run_simulation.py:230-244).
+
+Drift terms (Jdot*v) are obtained by forward-mode autodiff of frame/CoM
+velocities along the current motion — no hand-derived Hessians.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from g1_locomotion_tpu.models import dynamics as dyn
+from g1_locomotion_tpu.models import robot as rb
+from g1_locomotion_tpu.models.robot import RobotModel
+from g1_locomotion_tpu.wbid.tasks import WBIDGains, WBIDReferences
+
+# Contact frames, same order as the reference (wbid.py:39-44).
+CONTACT_FRAMES = (
+    "left_foot_line_contact_lower",
+    "left_foot_line_contact_upper",
+    "right_foot_line_contact_lower",
+    "right_foot_line_contact_upper",
+)
+FOOT_FRAMES = ("left_foot_point_contact", "right_foot_point_contact")
+NF = 4  # contact force variables
+NX_F = 3 * NF
+
+
+class StackIndices(NamedTuple):
+    """Static frame indices resolved once per model."""
+
+    contacts: Tuple[int, ...]
+    feet: Tuple[int, ...]
+    pelvis: int
+
+    @staticmethod
+    def from_model(model: RobotModel) -> "StackIndices":
+        return StackIndices(
+            contacts=tuple(model.frame_index(f) for f in CONTACT_FRAMES),
+            feet=tuple(model.frame_index(f) for f in FOOT_FRAMES),
+            pelvis=model.frame_index("pelvis"),
+        )
+
+
+def _frame_vel(model, q, v, fidx):
+    X = rb.fk(model, q)
+    return rb.frame_jacobian(model, q, X, fidx) @ v
+
+
+def _frame_drift(model, q, v, fidx):
+    """Jdot(q) v of a frame's 6D world velocity (q''=0 classical acceleration)."""
+    f = lambda t: _frame_vel(model, rb.integrate_q(model, q, v, t), v, fidx)
+    return jax.jvp(f, (0.0,), (1.0,))[1]
+
+
+def _com_drift(model, q, v):
+    def f(t):
+        q_t = rb.integrate_q(model, q, v, t)
+        return rb.com_jacobian(model, q_t, rb.fk(model, q_t)) @ v
+
+    return jax.jvp(f, (0.0,), (1.0,))[1]
+
+
+def angular_momentum(model: RobotModel, q, v, body_X) -> jnp.ndarray:
+    """Centroidal angular momentum L about the whole-body CoM."""
+    com = rb.com_position(model, body_X)
+    return _angular_momentum_impl(model, q, v, body_X, com)
+
+
+def _angular_momentum_impl(model, q, v, body_X, com):
+    # Propagate body twists down the tree in world coordinates.
+    base_R = body_X.R[0]
+    v_lin = [base_R @ v[0:3]]
+    v_ang = [base_R @ v[3:6]]
+    for b in range(1, model.nb):
+        pa = model.parent[b]
+        # World geometry of joint b.
+        Rj = body_X.R[pa] @ model.joint_origin_R[b]
+        axis_w = Rj @ model.joint_axis[b]
+        origin_w = body_X.R[pa] @ model.joint_origin_p[b] + body_X.p[pa]
+        dq = v[6 + b - 1]
+        w_par = v_ang[pa]
+        v_par = v_lin[pa] + jnp.cross(w_par, origin_w - body_X.p[pa])
+        v_ang.append(w_par + axis_w * dq)
+        v_lin.append(v_par)  # velocity of the joint origin == body origin
+    L = jnp.zeros(3, q.dtype)
+    for b in range(model.nb):
+        Rb = body_X.R[b]
+        com_b = Rb @ model.com[b] + body_X.p[b]
+        I_w = Rb @ model.inertia[b] @ Rb.T
+        v_com_b = v_lin[b] + jnp.cross(v_ang[b], com_b - body_X.p[b])
+        L = L + I_w @ v_ang[b] + model.mass[b] * jnp.cross(com_b - com, v_com_b)
+    return L
+
+
+def _rotation_error(R_des: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """so(3) orientation error e such that rotating by e aligns R to R_des
+    (vee of the skew part of R_des R^T)."""
+    E = R_des @ R.T
+    return 0.5 * jnp.stack(
+        [E[2, 1] - E[1, 2], E[0, 2] - E[2, 0], E[1, 0] - E[0, 1]]
+    )
+
+
+def build_qp(
+    model: RobotModel,
+    idx: StackIndices,
+    gains: WBIDGains,
+    q: jnp.ndarray,
+    v: jnp.ndarray,
+    refs: WBIDReferences,
+    dt: float,
+):
+    """Assemble (H, g, C, l, u) for the WBID QP, plus cached dynamics terms."""
+    dtype = q.dtype
+    nv = model.nv
+    nx = nv + NX_F
+
+    body_X = rb.fk(model, q)
+    M = dyn.crba(model, q)
+    h = dyn.bias_force(model, q, v)
+
+    # Contact point jacobians (world linear, 3 x nv each).
+    Jc = [rb.frame_jacobian(model, q, body_X, f)[:3] for f in idx.contacts]
+
+    A_blocks = []
+    b_blocks = []
+    w_blocks = []
+
+    def add(A, b, w):
+        A_blocks.append(A)
+        b_blocks.append(b)
+        w_blocks.append(jnp.broadcast_to(w, (A.shape[0],)).astype(dtype))
+
+    zeros_f = jnp.zeros((3, NX_F), dtype)
+
+    # --- CoM task (wbid.py:53-60,167) ---
+    J_com = rb.com_jacobian(model, q, body_X)
+    com = rb.com_position(model, body_X)
+    com_vel = J_com @ v
+    com_drift = _com_drift(model, q, v)
+    a_des = (
+        refs.com_acc
+        + gains.com_kp * (refs.com_pos - com)
+        + gains.com_kd * (refs.com_vel - com_vel)
+    )
+    add(jnp.concatenate([J_com, zeros_f], axis=1), a_des - com_drift, gains.w_com)
+
+    # --- Base orientation task rows 3:6 (wbid.py:67-75,172) ---
+    J_base = rb.frame_jacobian(model, q, body_X, idx.pelvis)
+    base_R = body_X.R[0]
+    base_w = J_base[3:6] @ v
+    base_drift = _frame_drift(model, q, v, idx.pelvis)[3:6]
+    e_ang = _rotation_error(refs.base_R, base_R)
+    a_des = (
+        refs.base_angacc
+        + gains.base_kp_ang * e_ang
+        + gains.base_kd_ang * (refs.base_angvel - base_w)
+    )
+    add(
+        jnp.concatenate([J_base[3:6], zeros_f], axis=1),
+        a_des - base_drift,
+        gains.w_base,
+    )
+
+    # --- Postural task on non-leg joints (wbid.py:128-134,167: stack rows
+    # 18..28 select waist+arms; generalized to any variant as "all joints
+    # after the 12 leg dofs") ---
+    n_post = model.nj - 12
+    sel = jnp.zeros((n_post, nv), dtype).at[:, 18:].set(jnp.eye(n_post, dtype=dtype))
+    qj = q[7:]
+    dqj = v[6:]
+    a_des_post = gains.posture_kp * (refs.posture_q - qj) - gains.posture_kd * dqj
+    add(
+        jnp.concatenate([sel, jnp.zeros((n_post, NX_F), dtype)], axis=1),
+        a_des_post[12:],
+        gains.w_posture,
+    )
+
+    # --- qddot regularization (wbid.py:152,167) ---
+    add(
+        jnp.concatenate([jnp.eye(nv, dtype=dtype), jnp.zeros((nv, NX_F), dtype)], axis=1),
+        jnp.zeros(nv, dtype),
+        gains.w_qddot_reg,
+    )
+
+    # --- Angular momentum task (wbid.py:136-142,168) ---
+    L = _angular_momentum_impl(model, q, v, body_X, com)
+    A_G = jax.jacfwd(lambda vv: _angular_momentum_impl(model, q, vv, body_X, com))(v)
+    L_drift = jax.jvp(
+        lambda t: _angular_momentum_impl(
+            model,
+            rb.integrate_q(model, q, v, t),
+            v,
+            rb.fk(model, rb.integrate_q(model, q, v, t)),
+            com,
+        ),
+        (0.0,),
+        (1.0,),
+    )[1]
+    # Ldot_des = -K L (drive momentum to zero; OpenSoT setMomentumGain).
+    add(
+        jnp.concatenate([A_G, zeros_f], axis=1),
+        -gains.angmom_k * L - L_drift,
+        gains.w_angmom,
+    )
+
+    # --- Torque minimization (wbid.py:149,170): tau = (M qdd + h - Jc^T f)[6:] ---
+    Jc_T = jnp.concatenate([Jc[i].T for i in range(NF)], axis=1)  # (nv, 12)
+    A_tau = jnp.concatenate([M[6:], -Jc_T[6:]], axis=1)
+    add(A_tau, -h[6:], gains.w_tau_reg)
+
+    # --- Contact (stance) + swing tasks per foot (wbid.py:78-115,174-176) ---
+    for s in range(2):
+        f = idx.feet[s]
+        Jf = rb.frame_jacobian(model, q, body_X, f)
+        Xf = rb.frame_pose(model, body_X, f)
+        vel = Jf @ v
+        drift = _frame_drift(model, q, v, f)
+        active = refs.contact_active[s]
+
+        # Stance: hold the reset pose (position + orientation), zero velocity.
+        e_pos = refs.contact_pos[s] - Xf.p
+        e_ang = _rotation_error(refs.contact_R[s], Xf.R)
+        a_des6 = gains.contact_kp * jnp.concatenate([e_pos, e_ang]) - (
+            gains.contact_kd * vel
+        )
+        add(
+            jnp.concatenate([Jf, jnp.zeros((6, NX_F), dtype)], axis=1),
+            a_des6 - drift,
+            gains.w_contact * active,
+        )
+
+        # Swing: track the swing trajectory (full 6D gains; xy vel ff zeroed by
+        # the engine to mirror ros_run_simulation.py:256-257).
+        e_pos_sw = refs.swing_pos[s] - Xf.p
+        e_ang_sw = _rotation_error(refs.swing_R[s], Xf.R)
+        vel_ref6 = jnp.concatenate([refs.swing_vel[s], jnp.zeros(3, dtype)])
+        acc_ref6 = jnp.concatenate([refs.swing_acc[s], jnp.zeros(3, dtype)])
+        a_des6_sw = (
+            acc_ref6
+            + gains.swing_kp * jnp.concatenate([e_pos_sw, e_ang_sw])
+            + gains.swing_kd * (vel_ref6 - vel)
+        )
+        add(
+            jnp.concatenate([Jf, jnp.zeros((6, NX_F), dtype)], axis=1),
+            a_des6_sw - drift,
+            gains.w_swing * (1.0 - active),
+        )
+
+    # --- Wrench tracking to MPC forces (wbid.py:179-182,296-297) ---
+    for i in range(NF):
+        Af = jnp.zeros((3, nx), dtype).at[:, nv + 3 * i : nv + 3 * i + 3].set(
+            jnp.eye(3, dtype=dtype)
+        )
+        add(Af, refs.f_des[i], gains.w_wrench)
+
+    # Assemble H, g.
+    A_all = jnp.concatenate(A_blocks, axis=0)
+    b_all = jnp.concatenate(b_blocks)
+    w_all = jnp.concatenate(w_blocks)
+    AW = A_all * w_all[:, None]
+    H = AW.T @ A_all
+    H = H + 1e-8 * jnp.eye(nx, dtype=dtype)
+    g = -(AW.T @ b_all)
+
+    # ----- Constraints -----
+    C_rows = []
+    l_rows = []
+    u_rows = []
+
+    def addc(C, l, u):
+        C_rows.append(C)
+        l_rows.append(jnp.atleast_1d(l))
+        u_rows.append(jnp.atleast_1d(u))
+
+    # Dynamic feasibility: underactuated base rows (wbid.py:184-190):
+    # M[0:6] qdd - (Jc^T f)[0:6] = -h[0:6]
+    C_dyn = jnp.concatenate([M[0:6], -Jc_T[0:6]], axis=1)
+    addc(C_dyn, -h[0:6], -h[0:6])
+
+    # Joint limits at acceleration level (wbid.py:196-202): double-integrator
+    # bound over dt with 10x velocity headroom.
+    qj_min = model.q_lower
+    qj_max = model.q_upper
+    sel_j = jnp.concatenate(
+        [jnp.zeros((model.nj, 6), dtype), jnp.eye(model.nj, dtype=dtype),
+         jnp.zeros((model.nj, NX_F), dtype)],
+        axis=1,
+    )
+    inv_dt2 = 2.0 / (dt * dt)
+    l_q = (qj_min - qj - dt * dqj) * inv_dt2
+    u_q = (qj_max - qj - dt * dqj) * inv_dt2
+    addc(sel_j, l_q, u_q)
+
+    # Velocity limits (wbid.py:203-204): |dq + dt qdd| <= dqmax.
+    l_v = (-model.dq_max - dqj) / dt
+    u_v = (model.dq_max - dqj) / dt
+    addc(sel_j, l_v, u_v)
+
+    # Torque limits (wbid.py:206-211): |(M qdd + h - Jc^T f)[6:]| <= tau_max.
+    addc(A_tau, -model.tau_max - h[6:], model.tau_max - h[6:])
+
+    # Friction cones + wrench limits per contact (wbid.py:213-220,117-126).
+    mu = gains.mu
+    for i in range(NF):
+        foot_active = refs.contact_active[i // 2]
+        base_col = nv + 3 * i
+        Cc = jnp.zeros((5, nx), dtype)
+        Cc = Cc.at[0, base_col + 0].set(1.0)
+        Cc = Cc.at[0, base_col + 2].add(-mu)
+        Cc = Cc.at[1, base_col + 0].set(-1.0)
+        Cc = Cc.at[1, base_col + 2].add(-mu)
+        Cc = Cc.at[2, base_col + 1].set(1.0)
+        Cc = Cc.at[2, base_col + 2].add(-mu)
+        Cc = Cc.at[3, base_col + 1].set(-1.0)
+        Cc = Cc.at[3, base_col + 2].add(-mu)
+        Cc = Cc.at[4, base_col + 2].set(1.0)
+        neg = jnp.asarray(-1e20, dtype)
+        l_c = jnp.stack([neg, neg, neg, neg, gains.fz_min * foot_active])
+        u_c = jnp.stack(
+            [0.0 * foot_active, 0.0 * foot_active, 0.0 * foot_active,
+             0.0 * foot_active, gains.fz_max * foot_active]
+        )
+        # Swing feet: force box collapses to exactly zero (switch_procedure,
+        # ros_run_simulation.py:243) — rewrite rows into f = 0 equalities to
+        # avoid a degenerate pyramid (same trick as the MPC, mpc/solver.py).
+        Ci = jnp.zeros((5, nx), dtype)
+        Ci = Ci.at[0, base_col + 0].set(1.0)
+        Ci = Ci.at[1, base_col + 1].set(1.0)
+        Ci = Ci.at[2, base_col + 2].set(1.0)
+        on = foot_active > 0.5
+        addc(
+            jnp.where(on, Cc, Ci),
+            jnp.where(on, l_c, jnp.zeros(5, dtype)),
+            jnp.where(on, u_c, jnp.zeros(5, dtype)),
+        )
+
+    C = jnp.concatenate(C_rows, axis=0)
+    l = jnp.concatenate(l_rows)
+    u = jnp.concatenate(u_rows)
+
+    return H, g, C, l, u, (M, h, Jc_T)

@@ -1,0 +1,108 @@
+"""WBID task/constraint configuration: gains and weights of the reference stack.
+
+This is the declarative spec of the OpenSoT ``AutoStack`` the reference builds
+in ``WholeBodyID.setupProblem`` (wbid.py:29-224; SURVEY.md §2.4 table). Every
+constant below is traceable to a wbid.py line. The stack compiler
+(:mod:`g1_locomotion_tpu.wbid.stack`) turns this + the robot state into dense
+QP blocks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class WBIDGains(NamedTuple):
+    """Pytree of gains/weights — per-scenario randomizable."""
+
+    # CoM task (wbid.py:55-60): gain 3 x (Kp=100 I, Kd=diag(30,30,50)), weight 3.
+    com_kp: jnp.ndarray
+    com_kd: jnp.ndarray
+    w_com: jnp.ndarray
+    # Base orientation task (wbid.py:70-75): gain 5 x diag Kp/Kd, rows 3:6,
+    # weight 3 (wbid.py:172).
+    base_kp_ang: jnp.ndarray
+    base_kd_ang: jnp.ndarray
+    w_base: jnp.ndarray
+    # Postural task on arm/waist rows 18-28 (wbid.py:128-134,167): Kp=400, Kd=40,
+    # weight 0.4.
+    posture_kp: jnp.ndarray
+    posture_kd: jnp.ndarray
+    w_posture: jnp.ndarray
+    # Acceleration regularization (wbid.py:152,167): weight 0.005.
+    w_qddot_reg: jnp.ndarray
+    # Angular momentum task (wbid.py:136-142,168): K=3 I, weight 0.3.
+    angmom_k: jnp.ndarray
+    w_angmom: jnp.ndarray
+    # Torque minimization (wbid.py:170): weight 1e-8.
+    w_tau_reg: jnp.ndarray
+    # Contact (stance) tasks (wbid.py:174-176): lambda=(300, 20), weight 4.5.
+    contact_kp: jnp.ndarray
+    contact_kd: jnp.ndarray
+    w_contact: jnp.ndarray
+    # Swing tasks (wbid.py:110-115,176): 3 x diag gains, weight 2.9.
+    swing_kp: jnp.ndarray
+    swing_kd: jnp.ndarray
+    w_swing: jnp.ndarray
+    # Wrench tracking to MPC forces (wbid.py:179-182): weight 0.05.
+    w_wrench: jnp.ndarray
+    # Friction coefficient (wbid.py:17).
+    mu: jnp.ndarray
+    # Stance wrench limits (wbid.py:123-124): fz in [10, 1000], |fx|,|fy| <= 1000.
+    fz_min: jnp.ndarray
+    fz_max: jnp.ndarray
+    fxy_max: jnp.ndarray
+
+
+def default_gains(dtype=jnp.float32) -> WBIDGains:
+    return WBIDGains(
+        com_kp=jnp.asarray([300.0, 300.0, 300.0], dtype),
+        com_kd=jnp.asarray([90.0, 90.0, 150.0], dtype),
+        w_com=jnp.asarray(3.0, dtype),
+        base_kp_ang=jnp.asarray([50.0, 50.0, 100.0], dtype),
+        base_kd_ang=jnp.asarray([250.0, 250.0, 250.0], dtype),
+        w_base=jnp.asarray(3.0, dtype),
+        posture_kp=jnp.asarray(400.0, dtype),
+        posture_kd=jnp.asarray(40.0, dtype),
+        w_posture=jnp.asarray(0.4, dtype),
+        w_qddot_reg=jnp.asarray(0.005, dtype),
+        angmom_k=jnp.asarray(3.0, dtype),
+        w_angmom=jnp.asarray(0.3, dtype),
+        w_tau_reg=jnp.asarray(1e-8, dtype),
+        contact_kp=jnp.asarray(300.0, dtype),
+        contact_kd=jnp.asarray(20.0, dtype),
+        w_contact=jnp.asarray(4.5, dtype),
+        swing_kp=jnp.asarray([1650.0, 2250.0, 1680.0, 210.0, 210.0, 210.0], dtype),
+        swing_kd=jnp.asarray([30.0, 30.0, 51.0, 21.0, 21.0, 21.0], dtype),
+        w_swing=jnp.asarray(2.9, dtype),
+        w_wrench=jnp.asarray(0.05, dtype),
+        mu=jnp.asarray(0.8, dtype),
+        fz_min=jnp.asarray(10.0, dtype),
+        fz_max=jnp.asarray(1000.0, dtype),
+        fxy_max=jnp.asarray(1000.0, dtype),
+    )
+
+
+class WBIDReferences(NamedTuple):
+    """Per-tick references for the stack (the reference's ``setReference``,
+    wbid.py:232-297, plus task activity from the gait FSM,
+    ros_run_simulation.py:230-244,374-399)."""
+
+    com_pos: jnp.ndarray       # (3,) from MPC x_opt1[3:6]
+    com_vel: jnp.ndarray       # (3,) from MPC x_opt1[9:12]
+    com_acc: jnp.ndarray       # (3,) feedforward sum(F)/m + g (wbid.py:287-294)
+    base_R: jnp.ndarray        # (3,3) desired base orientation (from rpy)
+    base_angvel: jnp.ndarray   # (3,) from MPC x_opt1[6:9]
+    base_angacc: jnp.ndarray   # (3,) feedforward I^-1 sum(r x omega) (wbid.py:269-282)
+    posture_q: jnp.ndarray     # (nj,) posture reference (initial config)
+    contact_pos: jnp.ndarray   # (2, 3) stance-foot target positions (reset pose)
+    contact_R: jnp.ndarray     # (2, 3, 3) stance-foot target orientations
+    swing_pos: jnp.ndarray     # (2, 3) swing trajectory position
+    swing_vel: jnp.ndarray     # (2, 3) swing velocity feedforward
+    swing_acc: jnp.ndarray     # (2, 3) swing acceleration feedforward
+    swing_R: jnp.ndarray       # (2, 3, 3) swing orientation target
+    f_des: jnp.ndarray         # (4, 3) MPC contact forces (wrench tracking)
+    contact_active: jnp.ndarray  # (2,) 1 = foot in stance (drives task masking
+                                 # and wrench limits, ros_run_simulation.py:230-244)

@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g1_locomotion_tpu.engine import tick as eng
+from g1_locomotion_tpu.gait import schedule as gs
+
+
+@pytest.fixture(scope="module")
+def standing_engine(g1):
+    cfg = eng.EngineConfig()
+    params = eng.default_scenario(jnp.float64)
+    # Stand: no steps.
+    params = params._replace(
+        gait=params.gait._replace(n_steps=jnp.asarray(0.0, jnp.float64))
+    )
+    rollout = eng.make_rollout(g1, cfg)
+    return cfg, params, rollout
+
+
+def test_standing_rollout_stable(g1, standing_engine):
+    """Closed-loop MPC+WBID standing for 0.4 s: CoM stays, torques bounded,
+    contacts loaded — BASELINE config 2's core behavior."""
+    cfg, params, rollout = standing_engine
+    state = eng.init_state(g1, cfg, jnp.float64)
+    com0 = None
+
+    run = jax.jit(lambda s: rollout(s, params, 10))
+    final, logs = run(state)
+
+    com = np.asarray(logs.com).reshape(-1, 3)  # (10*40, 3)
+    tau = np.asarray(logs.tau).reshape(-1, g1.nj)
+    forces = np.asarray(logs.forces).reshape(-1, 4, 3)
+
+    # No NaNs anywhere.
+    assert np.isfinite(com).all()
+    assert np.isfinite(tau).all()
+    # The engine drives the CoM from the FK-standing height (0.628) toward the
+    # MPC height target (cfg.com_height=0.598) and holds x/y.
+    assert abs(com[-1, 2] - cfg.com_height) < 8e-3, com[-1]
+    assert abs(com[-1, 0] - com[0, 0]) < 5e-3
+    assert abs(com[-1, 1] - com[0, 1]) < 5e-3
+    # Base stays upright.
+    from g1_locomotion_tpu.core import rotations as rot
+
+    rpy = np.asarray(rot.quat_to_rpy(final.q[3:7]))
+    assert np.abs(rpy[:2]).max() < 0.1, rpy
+    # Torques within limits.
+    assert (np.abs(tau) <= np.asarray(g1.tau_max)[None, :] + 1e-6).all()
+    # Total vertical force ~ mg through the rollout (after 1st MPC period).
+    fz = forces[40:, :, 2].sum(axis=1)
+    np.testing.assert_allclose(fz.mean(), 34.1329 * 9.80665, rtol=0.1)
+
+
+def test_velocity_drift_bounded(g1, standing_engine):
+    cfg, params, rollout = standing_engine
+    state = eng.init_state(g1, cfg, jnp.float64)
+    run = jax.jit(lambda s: rollout(s, params, 10))
+    final, _ = run(state)
+    assert float(jnp.abs(final.v).max()) < 0.5, np.asarray(final.v)
