@@ -1,0 +1,60 @@
+"""CLI for the demo configs — the analogue of the reference's roslaunch entry
+points (mpc_wbid_simulation.launch / run_simulation.py).
+
+    python -m g1_locomotion_tpu.api.cli <demo> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="g1_locomotion_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("walking", help="config 1: straight-line walking demo")
+    w.add_argument("--seconds", type=float, default=2.5)
+    w.add_argument("--vx", type=float, default=0.1)
+    w.add_argument("--steps", type=int, default=4)
+    w.add_argument("--log", type=str, default=None)
+    w.add_argument("--plot", type=str, default=None)
+
+    pr = sub.add_parser("push-recovery", help="config 2: N=20 push recovery")
+    pr.add_argument("--push-x", type=float, default=0.3)
+    pr.add_argument("--push-y", type=float, default=0.2)
+    pr.add_argument("--horizon", type=int, default=20)
+
+    gs = sub.add_parser("gait-sweep", help="config 3: batched MPC sweep")
+    gs.add_argument("--batch", type=int, default=4096)
+
+    sub.add_parser("wbid-29dof", help="config 4: 29-DoF WBID cascade")
+
+    ps = sub.add_parser("pod-sweep", help="config 5: sharded domain randomization")
+    ps.add_argument("--scenarios", type=int, default=4096)
+    ps.add_argument("--periods", type=int, default=5)
+
+    args = p.parse_args(argv)
+    from g1_locomotion_tpu.api import demos
+
+    if args.cmd == "walking":
+        out = demos.demo_walking(
+            seconds=args.seconds, v_cmd=(args.vx, 0.0), n_steps=args.steps,
+            log_path=args.log, plot_path=args.plot,
+        )
+    elif args.cmd == "push-recovery":
+        out = demos.demo_push_recovery(
+            push_velocity=(args.push_x, args.push_y), horizon=args.horizon
+        )
+    elif args.cmd == "gait-sweep":
+        out = demos.demo_gait_sweep(batch=args.batch)
+    elif args.cmd == "wbid-29dof":
+        out = demos.demo_wbid_29dof()
+    elif args.cmd == "pod-sweep":
+        out = demos.demo_pod_sweep(scenarios=args.scenarios, n_periods=args.periods)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

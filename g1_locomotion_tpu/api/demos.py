@@ -1,0 +1,202 @@
+"""Demo entry points mirroring the five BASELINE.json configs.
+
+Each returns a result dict (and optionally saves logs/plots via utils.viz) —
+the analogue of the reference's launch files (mpc_wbid_simulation.launch) and
+monolithic script, but batched/shardable. Run via the CLI:
+
+    python -m g1_locomotion_tpu.api.cli walking --seconds 2
+    python -m g1_locomotion_tpu.api.cli push-recovery
+    python -m g1_locomotion_tpu.api.cli gait-sweep --batch 4096
+    python -m g1_locomotion_tpu.api.cli wbid-29dof
+    python -m g1_locomotion_tpu.api.cli pod-sweep --scenarios 100000
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g1_locomotion_tpu.engine import tick as eng
+from g1_locomotion_tpu.models import srbd
+from g1_locomotion_tpu.models.robot import load_robot
+from g1_locomotion_tpu.mpc import solver as mpc
+from g1_locomotion_tpu.utils import viz
+
+
+def demo_walking(
+    seconds: float = 3.0,
+    v_cmd=(0.1, 0.0),
+    n_steps: int = 2,
+    dtype=jnp.float32,
+    log_path: Optional[str] = None,
+    plot_path: Optional[str] = None,
+):
+    """Config 1: straight-line walking demo — SRBD MPC + WBID cascade on the
+    G1 23-DoF with a fixed forward footstep plan. Mirrors the reference's
+    mpc_wbid_simulation.launch behavior ("executes a few walking steps and
+    then stops", README.md:118-124): the demo config takes n_steps steps and
+    settles back to quiet standing. Uses N=20 (full next-step preview) —
+    the validated walking configuration."""
+    model = load_robot("g1_23dof", dtype=dtype)
+    cfg = eng.EngineConfig(mpc=mpc.MPCConfig(horizon=20), sway_gain=0.6)
+    params = eng.default_scenario(dtype)
+    params = params._replace(
+        gait=params.gait._replace(n_steps=jnp.asarray(float(n_steps), dtype)),
+        v_cmd=jnp.asarray(v_cmd, dtype),
+    )
+    rollout = eng.make_rollout(model, cfg)
+    state = eng.init_state(model, cfg, dtype)
+    n_periods = int(seconds / cfg.mpc.dt)
+    run = jax.jit(lambda s: rollout(s, params, n_periods))
+    t0 = time.time()
+    final, logs = jax.block_until_ready(run(state))
+    wall = time.time() - t0
+    com = np.asarray(logs.com).reshape(-1, 3)
+    result = {
+        "config": "walking",
+        "sim_seconds": seconds,
+        "wall_seconds": wall,
+        "final_com": com[-1].tolist(),
+        "com_x_travel": float(com[-1, 0] - com[0, 0]),
+        "fell": bool(com[-1, 2] < 0.35),
+    }
+    if log_path:
+        viz.save_log(log_path, logs)
+    if plot_path:
+        viz.plot_rollout(
+            {k: np.asarray(v) for k, v in zip(logs._fields, logs)}, plot_path
+        )
+    return result
+
+
+def demo_push_recovery(
+    push_velocity=(0.3, 0.2),
+    horizon: int = 20,
+    seconds: float = 2.0,
+    dtype=jnp.float32,
+):
+    """Config 2: standing balance + push recovery at horizon N=20.
+
+    The push is modeled as an initial CoM velocity disturbance; success =
+    CoM returns near the target with small residual velocity."""
+    model = load_robot("g1_23dof", dtype=dtype)
+    cfg = eng.EngineConfig(mpc=mpc.MPCConfig(horizon=horizon))
+    params = eng.default_scenario(dtype)
+    params = params._replace(
+        gait=params.gait._replace(n_steps=jnp.asarray(0.0, dtype))
+    )
+    rollout = eng.make_rollout(model, cfg)
+    state = eng.init_state(model, cfg, dtype)
+    # Push: base linear velocity kick (local frame = world at identity yaw).
+    v = state.v.at[0].set(push_velocity[0]).at[1].set(push_velocity[1])
+    state = state._replace(v=v)
+    n_periods = int(seconds / cfg.mpc.dt)
+    run = jax.jit(lambda s: rollout(s, params, n_periods))
+    final, logs = jax.block_until_ready(run(state))
+    com = np.asarray(logs.com).reshape(-1, 3)
+    return {
+        "config": "push_recovery",
+        "horizon": horizon,
+        "push": list(push_velocity),
+        "final_com": com[-1].tolist(),
+        "residual_speed": float(jnp.linalg.norm(final.v[:6])),
+        "recovered": bool(
+            com[-1, 2] > 0.5 and float(jnp.linalg.norm(final.v[:6])) < 0.2
+        ),
+    }
+
+
+def demo_gait_sweep(batch: int = 4096, dtype=jnp.float32):
+    """Config 3: batched MPC gait sweep — B vmapped SRBD-MPC instances
+    (velocity commands x contact patterns) with batched QP solves, one chip."""
+    cfg = mpc.MPCConfig(horizon=10)
+    weights = mpc.default_weights(dtype)
+    params = srbd.default_params(dtype)
+    N = cfg.horizon
+    com = jnp.array([0.0527, 0.0, 0.598], dtype)
+    feet = jnp.array(
+        [[-0.05, 0.12, 0.0], [0.12, 0.12, 0.0], [-0.05, -0.12, 0.0], [0.12, -0.12, 0.0]],
+        dtype,
+    )
+    x0 = jnp.zeros(13, dtype).at[3:6].set(com).at[12].set(srbd.GRAVITY)
+    x_ref = jnp.tile(x0[None], (N, 1))
+    c_hor = jnp.tile(feet[None], (N, 1, 1))
+    p_hor = jnp.tile(com[None], (N, 1))
+
+    key = jax.random.PRNGKey(0)
+    pattern = jax.random.randint(key, (batch,), 0, 3)
+    stand = jnp.ones((N, 4), dtype)
+    left_up = stand.at[:, 0].set(0.0).at[:, 1].set(0.0)
+    right_up = stand.at[:, 2].set(0.0).at[:, 3].set(0.0)
+    contact = jnp.stack([stand, left_up, right_up])[pattern]
+    x0s = jnp.tile(x0[None], (batch, 1))
+    x0s = x0s.at[:, 9:11].add(
+        jax.random.uniform(key, (batch, 2), dtype, minval=-0.3, maxval=0.3)
+    )
+
+    f = jax.jit(
+        jax.vmap(
+            lambda x, c: mpc.solve(cfg, weights, params, x, x_ref, c, c_hor, p_hor)
+        )
+    )
+    sols = jax.block_until_ready(f(x0s, contact))  # compile
+    t0 = time.time()
+    sols = jax.block_until_ready(f(x0s, contact))
+    dt = time.time() - t0
+    return {
+        "config": "gait_sweep",
+        "batch": batch,
+        "solves_per_s": batch / dt,
+        "max_pri_res": float(jnp.max(sols.pri_res)),
+    }
+
+
+def demo_wbid_29dof(dtype=jnp.float32):
+    """Config 4: G1 29-DoF — full WBID QP (torque + wrench bounds) cascaded
+    under the SRBD MPC, standing balance."""
+    model = load_robot("g1_29dof", dtype=dtype)
+    cfg = eng.EngineConfig()
+    params = eng.default_scenario(dtype)
+    params = params._replace(
+        gait=params.gait._replace(n_steps=jnp.asarray(0.0, dtype))
+    )
+    rollout = eng.make_rollout(model, cfg)
+    state = eng.init_state(model, cfg, dtype)
+    run = jax.jit(lambda s: rollout(s, params, 10))
+    final, logs = jax.block_until_ready(run(state))
+    com = np.asarray(logs.com).reshape(-1, 3)
+    return {
+        "config": "wbid_29dof",
+        "nv": model.nv,
+        "final_com": com[-1].tolist(),
+        "stable": bool(abs(com[-1, 2] - cfg.com_height) < 0.05),
+    }
+
+
+def demo_pod_sweep(scenarios: int = 4096, n_periods: int = 5, dtype=jnp.float32):
+    """Config 5: domain-randomized scenario sweep sharded over the available
+    device mesh with a psum'd statistics reduction (pod-scale pattern; on one
+    chip it exercises the identical sharded program)."""
+    from g1_locomotion_tpu.parallel import sweep
+
+    model = load_robot("g1_23dof", dtype=dtype)
+    cfg = eng.EngineConfig()
+    base = eng.default_scenario(dtype)
+    spec = sweep.SweepSpec(n_scenarios=scenarios)
+    params = sweep.randomize(spec, jax.random.PRNGKey(0), base)
+    t0 = time.time()
+    final, stats = sweep.run_sweep(model, cfg, params, n_periods=n_periods)
+    jax.block_until_ready(stats)
+    wall = time.time() - t0
+    return {
+        "config": "pod_sweep",
+        "scenarios": scenarios,
+        "devices": len(jax.devices()),
+        "wall_seconds": wall,
+        "mean_com_drift": float(stats.com_drift_sum / stats.n),
+        "fell_fraction": float(stats.fell_count / stats.n),
+    }

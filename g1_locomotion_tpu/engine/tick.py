@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from g1_locomotion_tpu.core import rotations as rot
+from g1_locomotion_tpu.engine import plant as plant_mod
 from g1_locomotion_tpu.engine.state import q_init_standing
 from g1_locomotion_tpu.gait import footsteps as fs
 from g1_locomotion_tpu.gait import schedule as gs
@@ -44,9 +45,12 @@ class EngineConfig(NamedTuple):
 
     mpc: mpc.MPCConfig = mpc.MPCConfig()
     wbid: wbid.WBIDConfig = wbid.WBIDConfig()
+    plant: plant_mod.PlantConfig = plant_mod.PlantConfig()
     ticks_per_mpc: int = 40  # 0.04 / 0.001 (run_simulation.py:169 vs :172)
     max_swing_height: float = 0.05  # m (ros_run_simulation.py:294)
     com_height: float = 0.598  # standing CoM target (run_simulation.py:81)
+    sway_gain: float = 0.6  # fraction of support-centroid lateral sway in the
+                            # CoM reference (pre-swing weight shift)
 
 
 class ScenarioParams(NamedTuple):
@@ -85,7 +89,11 @@ class EngineState(NamedTuple):
     swing_start: jnp.ndarray  # (2, 3) lift-off positions per foot
     contact_hold: jnp.ndarray # (2, 3) stance target positions (reset poses)
     contact_hold_R: jnp.ndarray  # (2, 3, 3)
-    prev_in_swing: jnp.ndarray   # scalar bool-ish: was a foot swinging last tick
+    prev_stance: jnp.ndarray  # (2,) stance flags from the previous tick
+    anchors: jnp.ndarray      # (4, 3) contact pin positions for the plant
+    p_origin: jnp.ndarray     # (2,) CoM xy at walk start — anchors the
+                              # absolute reference ramp (the reference uses a
+                              # fixed CoM target, run_simulation.py:81)
 
 
 class TickLog(NamedTuple):
@@ -118,7 +126,9 @@ def init_state(model: RobotModel, cfg: EngineConfig, dtype=jnp.float32) -> Engin
         swing_start=feet,
         contact_hold=feet,
         contact_hold_R=feet_R,
-        prev_in_swing=jnp.asarray(0.0, dtype),
+        prev_stance=jnp.ones(2, dtype),
+        anchors=plant_mod.anchors_from_state(model, idx, q).astype(dtype),
+        p_origin=rb.com_position(model, X)[:2].astype(dtype),
     )
 
 
@@ -158,14 +168,47 @@ def _mpc_stage(
         [rb.frame_pose(model, body_X, f).p for f in idx.contacts]
     )  # (4,3)
 
-    # Footstep plan: landing position for the current/next swing.
+    # Footstep plan: forward (x) from the fixed straight-line plan — the
+    # walking-demo behavior (BASELINE config 1) — but lateral (y) from
+    # capture-point feedback: y_land = y_com + vy/omega0 +- margin. A purely
+    # fixed lateral plan leaves lateral errors uncorrected by stepping, and
+    # GRF authority alone is marginal for lateral balance (LIPM instability).
     landing = fs.fixed_plan(
         params.steps,
         step_idx,
         swing_is_left,
-        state.contact_hold[0][:2] * 0.0 + jnp.array([0.0, 0.0], dtype),
+        jnp.zeros(2, dtype),
     )
-    landing = landing + jnp.concatenate([params.v_cmd * 0.0, jnp.zeros(1, dtype)])
+    # Raibert-style lateral placement: nominal width beside the *predicted*
+    # CoM at touchdown, plus velocity feedback (gait/footsteps.py raibert).
+    # Keeps a sane stance width every step while correcting lateral drift —
+    # more robust here than pure capture-point placement, whose exponential
+    # prediction is distorted by the MPC's GRFs partially fighting the fall.
+    stance_mask = jnp.where(swing_is_left, jnp.array([0.0, 0.0, 1.0, 1.0], dtype),
+                            jnp.array([1.0, 1.0, 0.0, 0.0], dtype))
+    p_sy = jnp.sum(stance_mask * cpos[:, 1]) / jnp.sum(stance_mask)
+    half = params.gait.swing_duration + params.gait.double_support_duration
+    swing_end_t = (
+        params.gait.start_time
+        + step_idx * half
+        + params.gait.double_support_duration
+        + params.gait.swing_duration
+    )
+    T_rem = jnp.clip(swing_end_t - state.t, 0.0, None)
+    y_td = x0[4] + x0[10] * T_rem  # ballistic CoM prediction at touchdown
+    k_r = 8.0 * params.steps.raibert_gain
+    y_land = (
+        y_td
+        + jnp.where(swing_is_left, params.steps.step_width, -params.steps.step_width)
+        + k_r * (x0[10] - params.v_cmd[1])
+    )
+    # Keep feet separated (>= 8 cm from the stance foot, <= 0.45 m).
+    y_land = jnp.where(
+        swing_is_left,
+        jnp.clip(y_land, p_sy + 0.08, p_sy + 0.45),
+        jnp.clip(y_land, p_sy - 0.45, p_sy - 0.08),
+    )
+    landing = landing.at[1].set(y_land)
 
     # Horizon contact positions: stance contacts at their current position; the
     # swing-side contacts switch to the planned landing point for horizon steps
@@ -209,19 +252,44 @@ def _mpc_stage(
         )
         c_hor = c_hor.at[:, col_left].set(new_left).at[:, col_right].set(new_right)
 
-    # Reference horizon: hold position/height, track commanded velocity
-    # (run_simulation.py:80-82 generalized with v_cmd).
-    ks = jnp.arange(1, N + 1, dtype=dtype)[:, None]
-    p_ref = jnp.concatenate(
-        [
-            x0[3:5][None, :] + ks * cfg.mpc.dt * params.v_cmd[None, :],
-            jnp.full((N, 1), cfg.com_height, dtype),
-        ],
-        axis=1,
+    # Reference horizon: CoM xy tracks the *support-polygon centroid preview* —
+    # the centroid of the contacts active at each horizon step (using planned
+    # landing points for post-touchdown steps). With the horizon previewing the
+    # next swing, this makes the MPC shift weight over the upcoming stance foot
+    # during double support — the lateral sway without which single support
+    # starts with outward CoM velocity and the robot falls sideways. (The
+    # reference's standing config instead holds a fixed absolute CoM target,
+    # run_simulation.py:80-82 — reproduced here when all contacts stay active.)
+    support_w = contact_hor / jnp.maximum(
+        jnp.sum(contact_hor, axis=1, keepdims=True), 1.0
+    )  # (N, 4)
+    centroid = jnp.einsum("nc,ncd->nd", support_w, c_hor)[:, 0:2]  # (N, 2)
+    # Smooth the x preview (raw centroid steps ~0.1 m between phases — the
+    # jumps would inject multi-m/s velocity-reference spikes).
+    pad = jnp.concatenate([centroid[:1], centroid, centroid[-1:]], axis=0)
+    centroid = (pad[:-2] + pad[1:-1] + pad[2:]) / 3.0
+    # Lateral reference: centerline plus a *moderated* sway toward the
+    # support centroid (pre-swing weight shift over the upcoming stance foot,
+    # previewed by the horizon). Full-amplitude sway excites the LIPM
+    # instability; the residual lateral error is caught by the Raibert foot
+    # placement above.
+    ks = jnp.arange(1, N + 1, dtype=dtype)
+    y_line = state.p_origin[1] + (state.t + cfg.mpc.dt * ks) * params.v_cmd[1]
+    y_ref = y_line + cfg.sway_gain * (centroid[:, 1] - y_line)
+    p_ref = jnp.stack(
+        [centroid[:, 0], y_ref, jnp.full((N,), cfg.com_height, dtype)], axis=1
+    )
+    # Lateral velocity reference is ZERO: a finite-difference of the sway
+    # preview commands ~0.5 m/s *into* the stance foot and the CoM arrives
+    # with that velocity instead of settling over it (observed failure mode).
+    # The vy weight then acts as pure damping toward each sway waypoint.
+    v_ref_xy = jnp.stack(
+        [jnp.diff(p_ref[:, 0], append=p_ref[-1, 0]) / cfg.mpc.dt,
+         jnp.full((N,), params.v_cmd[1], dtype)], axis=1
     )
     x_ref = jnp.zeros((N, 13), dtype)
     x_ref = x_ref.at[:, 3:6].set(p_ref)
-    x_ref = x_ref.at[:, 9:11].set(jnp.tile(params.v_cmd[None, :], (N, 1)))
+    x_ref = x_ref.at[:, 9:11].set(v_ref_xy)
     x_ref = x_ref.at[:, 12].set(jnp.asarray(srbd.GRAVITY, dtype))
 
     sol = mpc.solve(
@@ -262,15 +330,28 @@ def _wbid_tick(
     contact_active = jnp.stack([left_active, right_active])
 
     _, in_swing, swing_is_left, progress = gs.phase_info(params.gait, state.t)
-    swing_started = (in_swing > 0) & (state.prev_in_swing < 0.5)
 
-    # On swing start: latch lift-off positions (feet_gait_procedure,
-    # ros_run_simulation.py:284-322) and the stance reset pose.
+    # Per-foot stance transitions — the jit equivalent of the reference's
+    # task reset()s in switch_procedure (ros_run_simulation.py:230-244):
+    #  * lift-off (stance -> swing): latch the swing start position
+    #    (feet_gait_procedure, ros_run_simulation.py:284-322);
+    #  * touchdown (swing -> stance): re-anchor the stance task target to the
+    #    just-landed pose (contact_tasks[..].reset()).
     feet_now = jnp.stack([rb.frame_pose(model, body_X, f).p for f in idx.feet])
     feet_R_now = jnp.stack([rb.frame_pose(model, body_X, f).R for f in idx.feet])
-    swing_start = jnp.where(swing_started, feet_now, state.swing_start)
-    contact_hold = jnp.where(swing_started, feet_now, state.contact_hold)
-    contact_hold_R = jnp.where(swing_started, feet_R_now, state.contact_hold_R)
+    liftoff = (contact_active < 0.5) & (state.prev_stance > 0.5)  # (2,)
+    touchdown = (contact_active > 0.5) & (state.prev_stance < 0.5)
+    swing_start = jnp.where(liftoff[:, None], feet_now, state.swing_start)
+    contact_hold = jnp.where(touchdown[:, None], feet_now, state.contact_hold)
+    contact_hold_R = jnp.where(
+        touchdown[:, None, None], feet_R_now, state.contact_hold_R
+    )
+    # Re-anchor the plant's contact pins where the foot actually touched down.
+    cpos_now = jnp.stack(
+        [rb.frame_pose(model, body_X, f).p for f in idx.contacts]
+    )
+    touchdown_c = jnp.repeat(touchdown, 2)  # foot -> its 2 contact points
+    anchors = jnp.where(touchdown_c[:, None], cpos_now, state.anchors)
 
     # Swing trajectory for each foot (only the swinging one is weighted in).
     def swing_refs(side):
@@ -330,10 +411,13 @@ def _wbid_tick(
         model, idx, cfg.wbid, params.wbid_gains, state.q, state.v, refs
     )
 
-    # Whole-body plant: integrate the WBID accelerations (semi-implicit Euler).
-    dt = cfg.wbid.dt
-    v_new = state.v + dt * sol.qddot
-    q_new = rb.integrate_q(model, state.q, v_new, dt)
+    # Whole-body plant: constrained forward dynamics driven by the WBID
+    # torques, with the active contact points pinned (the MuJoCo stand-in —
+    # ros_run_simulation.py:417-419 applies tau[6:] and calls mj_step).
+    q_new, v_new, plant_forces = plant_mod.constrained_step(
+        model, idx, cfg.plant, state.q, state.v, sol.tau,
+        state.contact_now, anchors,
+    )
 
     log = TickLog(
         com=rb.com_position(model, body_X),
@@ -346,11 +430,12 @@ def _wbid_tick(
     new_state = state._replace(
         q=q_new,
         v=v_new,
-        t=state.t + dt,
+        t=state.t + cfg.plant.dt,
         swing_start=swing_start,
         contact_hold=contact_hold,
         contact_hold_R=contact_hold_R,
-        prev_in_swing=jnp.where(in_swing > 0, 1.0, 0.0).astype(dtype),
+        prev_stance=contact_active.astype(dtype),
+        anchors=anchors,
     )
     return new_state, log
 

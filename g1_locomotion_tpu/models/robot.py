@@ -157,9 +157,41 @@ def model_from_spec(spec: RobotSpec, dtype=jnp.float32) -> RobotModel:
 
 def load_robot(variant: str = "g1_23dof", dtype=jnp.float32) -> RobotModel:
     """Load a robot variant from the bundled JSON assets (g1_23dof, g1_29dof,
-    g1_29dof_with_hand, g1_dual_arm)."""
+    g1_29dof_with_hand, g1_dual_arm).
+
+    Variants whose description lacks the locomotion contact frames (the stock
+    Unitree ``g1_29dof_with_hand``) get them synthesized at the documented
+    offsets from the ankle-roll links (g1_23dof.urdf:283-301: heel x=-0.05,
+    toe x=+0.12, center x=0, all z=-0.03)."""
     d = json.loads((_ASSET_DIR / f"{variant}.json").read_text())
-    return model_from_spec(spec_from_dict(d), dtype=dtype)
+    spec = spec_from_dict(d)
+    _ensure_foot_contact_frames(spec)
+    return model_from_spec(spec, dtype=dtype)
+
+
+def _ensure_foot_contact_frames(spec) -> None:
+    from g1_locomotion_tpu.models.urdf import FrameSpec
+    import numpy as _np
+
+    names = {f.name for f in spec.frames}
+    offsets = {
+        "line_contact_lower": [-0.05, 0.0, -0.03],
+        "line_contact_upper": [0.12, 0.0, -0.03],
+        "point_contact": [0.0, 0.0, -0.03],
+    }
+    for side in ("left", "right"):
+        ankle = f"{side}_ankle_roll_link"
+        body = next(
+            (i for i, b in enumerate(spec.bodies) if b.name == ankle), None
+        )
+        if body is None:
+            continue
+        for suffix, xyz in offsets.items():
+            name = f"{side}_foot_{suffix}"
+            if name not in names:
+                spec.frames.append(
+                    FrameSpec(name, body, _np.array(xyz), _np.eye(3))
+                )
 
 
 def load_robot_from_urdf(urdf_string: str, dtype=jnp.float32) -> RobotModel:

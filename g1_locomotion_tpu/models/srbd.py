@@ -34,9 +34,23 @@ NX = 13  # state dim
 NU = 12  # 4 contacts x 3 forces
 NC = 4   # contact points: L-heel, L-toe, R-heel, R-toe (ros_run_simulation.py:65)
 
-# Torso inertia used by the reference MPC (wbid.py:262-266).
+# Torso-only inertia the *reference* MPC uses (wbid.py:262-266). Kept for
+# parity experiments; NOT the default. With this value the SRBD over-predicts
+# body rotation from lateral forces ~30x (the whole body rotates, not just the
+# torso), which makes the MPC refuse lateral braking forces and walk
+# laterally unstable.
 TORSO_INERTIA = jnp.array(
     [[8.20564e-2, 0.0, 0.0], [0.0, 8.05015e-2, 0.0], [0.0, 0.0, 0.32353e-2]]
+)
+# Whole-body composite inertia about the CoM at the standing configuration
+# (computed from the URDF inertias via models/robot.py; see
+# tests/test_srbd_mpc.py::test_composite_inertia_value).
+G1_COMPOSITE_INERTIA = jnp.array(
+    [
+        [3.2056, 0.0, 0.4255],
+        [0.0, 3.0501, -0.0007],
+        [0.4255, -0.0007, 0.5523],
+    ]
 )
 G1_MASS = 34.13290  # sum of URDF link masses (g1_23dof.urdf)
 GRAVITY = -9.80665  # state element 12 (ros_run_simulation.py:58)
@@ -48,6 +62,14 @@ class SRBDParams(NamedTuple):
 
 
 def default_params(dtype=jnp.float32) -> SRBDParams:
+    return SRBDParams(
+        mass=jnp.asarray(G1_MASS, dtype),
+        inertia=G1_COMPOSITE_INERTIA.astype(dtype),
+    )
+
+
+def reference_parity_params(dtype=jnp.float32) -> SRBDParams:
+    """The reference's exact SRBD parameterization (torso inertia)."""
     return SRBDParams(
         mass=jnp.asarray(G1_MASS, dtype), inertia=TORSO_INERTIA.astype(dtype)
     )

@@ -44,11 +44,15 @@ class MPCWeights(NamedTuple):
 
 
 def default_weights(dtype=jnp.float32) -> MPCWeights:
-    # Di Carlo-style weighting: orientation, position, rates; gravity row 0.
+    # Di Carlo-style weighting: roll/pitch weights deliberately small — with
+    # the torso-only inertia the angular rows are extremely sensitive, and
+    # heavy orientation tracking makes the QP sacrifice CoM recentering to
+    # preserve moment neutrality (the robot then drifts sideways in single
+    # support). Position (especially height) dominates; yaw moderate.
     Q = jnp.array(
-        [150.0, 150.0, 100.0,   # theta rpy
+        [5.0, 5.0, 50.0,        # theta rpy
          200.0, 200.0, 500.0,   # p com
-         1.0, 1.0, 1.0,         # omega
+         0.1, 0.1, 0.5,         # omega
          10.0, 10.0, 10.0,      # v com
          0.0],                  # g (uncontrollable)
         dtype,

@@ -164,7 +164,11 @@ def _solve_qp_impl(P, q, A, l, u, cfg, x0, y0) -> QPSolution:
         c = jnp.asarray(1.0, dtype)
 
     is_eq = jnp.abs(u_s - l_s) < 1e-12
-    rho_vec = jnp.where(is_eq, cfg.rho * cfg.rho_eq_scale, cfg.rho).astype(dtype)
+    # rho must track the cost scaling c (the scaled objective is c·(...)): an
+    # unscaled rho is off by 1/c relative to the curvature and stalls ADMM.
+    rho_vec = (c * jnp.where(is_eq, cfg.rho * cfg.rho_eq_scale, cfg.rho)).astype(
+        dtype
+    )
 
     # Scaled variables: x̂ = x/d, ŷ = c·y/e (inverse of the unscaling below).
     x = jnp.zeros(n, dtype) if x0 is None else x0 / d

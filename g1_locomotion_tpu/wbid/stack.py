@@ -26,6 +26,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from g1_locomotion_tpu.core.rotations import skew
 from g1_locomotion_tpu.models import dynamics as dyn
 from g1_locomotion_tpu.models import robot as rb
 from g1_locomotion_tpu.models.robot import RobotModel
@@ -70,18 +71,90 @@ def _frame_drift(model, q, v, fidx):
     return jax.jvp(f, (0.0,), (1.0,))[1]
 
 
-def _com_drift(model, q, v):
+def _frames_drift(model, q, v, fidxs, rows=slice(None)):
+    """Jdot v for several frames in ONE jvp pass (shared FK) — compile-time
+    and FLOP saver over per-frame jvp."""
+
     def f(t):
         q_t = rb.integrate_q(model, q, v, t)
-        return rb.com_jacobian(model, q_t, rb.fk(model, q_t)) @ v
+        X_t = rb.fk(model, q_t)
+        return jnp.concatenate(
+            [(rb.frame_jacobian(model, q_t, X_t, fi) @ v)[rows] for fi in fidxs]
+        )
 
     return jax.jvp(f, (0.0,), (1.0,))[1]
+
+
+def _all_task_drifts(model, q, v, idx):
+    """One jvp pass computing every WBID task drift:
+    returns (com(3), base6(6), foot0(6), foot1(6), L_dot_drift(3))."""
+
+    def f(t):
+        q_t = rb.integrate_q(model, q, v, t)
+        X_t = rb.fk(model, q_t)
+        com_v = rb.com_jacobian(model, q_t, X_t) @ v
+        base6 = rb.frame_jacobian(model, q_t, X_t, idx.pelvis) @ v
+        f0 = rb.frame_jacobian(model, q_t, X_t, idx.feet[0]) @ v
+        f1 = rb.frame_jacobian(model, q_t, X_t, idx.feet[1]) @ v
+        L = angular_momentum(model, q_t, v, X_t)
+        return jnp.concatenate([com_v, base6, f0, f1, L])
+
+    d = jax.jvp(f, (0.0,), (1.0,))[1]
+    return d[0:3], d[3:9], d[9:15], d[15:21], d[21:24]
 
 
 def angular_momentum(model: RobotModel, q, v, body_X) -> jnp.ndarray:
     """Centroidal angular momentum L about the whole-body CoM."""
     com = rb.com_position(model, body_X)
     return _angular_momentum_impl(model, q, v, body_X, com)
+
+
+def centroidal_momentum_matrix(model: RobotModel, q, body_X) -> jnp.ndarray:
+    """Angular part of the centroidal momentum matrix A_G (3, nv): L = A_G v.
+
+    Closed-form assembly (no autodiff): each body contributes
+    I_b^w J_b^ang + m_b S(c_b - c) J_b^lin(com_b), built from the shared joint
+    world geometry with the static ancestor mask — one einsum sweep instead of
+    a 29-tangent jacfwd (which dominated compile time).
+    """
+    dtype = q.dtype
+    nb, nj, nv = model.nb, model.nj, model.nv
+    import numpy as _np
+
+    com_b = jnp.einsum("bij,bj->bi", body_X.R, model.com) + body_X.p  # (nb,3)
+    com = jnp.sum(model.mass[:, None] * com_b, axis=0) / model.total_mass
+    I_w = jnp.einsum("bij,bjk,blk->bil", body_X.R, model.inertia, body_X.R)
+
+    axis_w, origin_w = rb._joint_world_geometry(model, body_X)  # (nj,3) each
+    mask = jnp.asarray(_np.array(model.ancestor_mask), dtype)   # (nb, nj)
+
+    # Joint columns.
+    # omega_b contribution: mask[b,j] * axis_j
+    # v_com_b contribution: mask[b,j] * axis_j x (com_b - origin_j)
+    d = com_b[:, None, :] - origin_w[None, :, :]                # (nb,nj,3)
+    lin = jnp.cross(jnp.broadcast_to(axis_w[None], d.shape), d)  # (nb,nj,3)
+    r = com_b - com[None, :]                                     # (nb,3)
+    # I_w[b] @ axis_j for each (b, j): (nb, nj, 3)
+    Iw_axis = jnp.einsum("bil,jl->bji", I_w, axis_w)
+    col_ang = jnp.einsum("bj,bji->ij", mask, Iw_axis)            # (3, nj) summed over b
+    cross_r_lin = jnp.cross(jnp.broadcast_to(r[:, None, :], lin.shape), lin)
+    col_lin = jnp.einsum("b,bj,bji->ij", model.mass, mask, cross_r_lin)
+    A_joints = col_ang + col_lin                                 # (3, nj)
+
+    # Base columns: omega_b = R0 w_loc for all bodies; v_com_b = R0 v_loc +
+    # (R0 w_loc) x (com_b - p0).
+    R0 = body_X.R[0]
+    I_tot = jnp.sum(I_w, axis=0)                                 # sum I_b^w
+    A_w = I_tot @ R0
+    d0 = com_b - body_X.p[0][None, :]
+    # m_b r_b x (w x d0_b) = -m_b S(r_b) S(d0_b) w, summed over bodies.
+    Sr = skew(r)
+    Sd0 = skew(d0)
+    A_w = A_w - jnp.einsum("b,bij,bjk->ik", model.mass, Sr, Sd0) @ R0
+    # v_loc part: m_b r_b x (R0 v) = (sum m_b S(r_b)) R0 = 0 since sum m r = 0.
+    A_v = jnp.zeros((3, 3), dtype)
+
+    return jnp.concatenate([A_v, A_w, A_joints], axis=1)
 
 
 def _angular_momentum_impl(model, q, v, body_X, com):
@@ -140,6 +213,12 @@ def build_qp(
     # Contact point jacobians (world linear, 3 x nv each).
     Jc = [rb.frame_jacobian(model, q, body_X, f)[:3] for f in idx.contacts]
 
+    # All task drifts in one forward pass.
+    com_drift, base_drift6, foot_drift0, foot_drift1, L_drift = _all_task_drifts(
+        model, q, v, idx
+    )
+    foot_drifts = (foot_drift0, foot_drift1)
+
     A_blocks = []
     b_blocks = []
     w_blocks = []
@@ -155,7 +234,6 @@ def build_qp(
     J_com = rb.com_jacobian(model, q, body_X)
     com = rb.com_position(model, body_X)
     com_vel = J_com @ v
-    com_drift = _com_drift(model, q, v)
     a_des = (
         refs.com_acc
         + gains.com_kp * (refs.com_pos - com)
@@ -167,7 +245,7 @@ def build_qp(
     J_base = rb.frame_jacobian(model, q, body_X, idx.pelvis)
     base_R = body_X.R[0]
     base_w = J_base[3:6] @ v
-    base_drift = _frame_drift(model, q, v, idx.pelvis)[3:6]
+    base_drift = base_drift6[3:6]
     e_ang = _rotation_error(refs.base_R, base_R)
     a_des = (
         refs.base_angacc
@@ -203,18 +281,7 @@ def build_qp(
 
     # --- Angular momentum task (wbid.py:136-142,168) ---
     L = _angular_momentum_impl(model, q, v, body_X, com)
-    A_G = jax.jacfwd(lambda vv: _angular_momentum_impl(model, q, vv, body_X, com))(v)
-    L_drift = jax.jvp(
-        lambda t: _angular_momentum_impl(
-            model,
-            rb.integrate_q(model, q, v, t),
-            v,
-            rb.fk(model, rb.integrate_q(model, q, v, t)),
-            com,
-        ),
-        (0.0,),
-        (1.0,),
-    )[1]
+    A_G = centroidal_momentum_matrix(model, q, body_X)
     # Ldot_des = -K L (drive momentum to zero; OpenSoT setMomentumGain).
     add(
         jnp.concatenate([A_G, zeros_f], axis=1),
@@ -233,7 +300,7 @@ def build_qp(
         Jf = rb.frame_jacobian(model, q, body_X, f)
         Xf = rb.frame_pose(model, body_X, f)
         vel = Jf @ v
-        drift = _frame_drift(model, q, v, f)
+        drift = foot_drifts[s]
         active = refs.contact_active[s]
 
         # Stance: hold the reset pose (position + orientation), zero velocity.
@@ -297,7 +364,11 @@ def build_qp(
     addc(C_dyn, -h[0:6], -h[0:6])
 
     # Joint limits at acceleration level (wbid.py:196-202): double-integrator
-    # bound over dt with 10x velocity headroom.
+    # viability bound over a lookahead T_lim (not the raw 1 ms tick — that
+    # produces +-2e6-scale bounds that flip inconsistent near the limits and
+    # make the QP infeasible mid-swing). Feasibility is enforced by
+    # construction: if the window collapses, both bounds meet at the midpoint.
+    T_lim = 0.1
     qj_min = model.q_lower
     qj_max = model.q_upper
     sel_j = jnp.concatenate(
@@ -305,15 +376,22 @@ def build_qp(
          jnp.zeros((model.nj, NX_F), dtype)],
         axis=1,
     )
-    inv_dt2 = 2.0 / (dt * dt)
-    l_q = (qj_min - qj - dt * dqj) * inv_dt2
-    u_q = (qj_max - qj - dt * dqj) * inv_dt2
-    addc(sel_j, l_q, u_q)
+    inv_T2 = 2.0 / (T_lim * T_lim)
+    l_q = (qj_min - qj - T_lim * dqj) * inv_T2
+    u_q = (qj_max - qj - T_lim * dqj) * inv_T2
 
-    # Velocity limits (wbid.py:203-204): |dq + dt qdd| <= dqmax.
-    l_v = (-model.dq_max - dqj) / dt
-    u_v = (model.dq_max - dqj) / dt
-    addc(sel_j, l_v, u_v)
+    # Velocity limits (wbid.py:203-204) over the same lookahead, with the
+    # reference's 10x headroom (wbid.py:201).
+    l_v = (-10.0 * model.dq_max - dqj) / T_lim
+    u_v = (10.0 * model.dq_max - dqj) / T_lim
+
+    lo = jnp.maximum(l_q, l_v)
+    hi = jnp.minimum(u_q, u_v)
+    mid = 0.5 * (lo + hi)
+    bad = lo > hi
+    lo = jnp.where(bad, mid, lo)
+    hi = jnp.where(bad, mid, hi)
+    addc(sel_j, lo, hi)
 
     # Torque limits (wbid.py:206-211): |(M qdd + h - Jc^T f)[6:]| <= tau_max.
     addc(A_tau, -model.tau_max - h[6:], model.tau_max - h[6:])

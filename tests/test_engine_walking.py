@@ -1,0 +1,91 @@
+"""Closed-loop walking on the constrained-dynamics plant — the reference's
+walking demo (BASELINE config 1: "executes a few walking steps and then
+stops", README.md:118-124).
+
+Demo-parity configuration: horizon N=20 (full next-step preview), moderated
+sway reference, Raibert lateral foot placement. Two steps complete and the
+robot returns to quiet standing. Longer walks accumulate lateral drift —
+a known limitation tracked for the next round (step-timing adaptation /
+footstep-integrated MPC).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g1_locomotion_tpu.engine import tick as eng
+from g1_locomotion_tpu.models import robot as rb
+from g1_locomotion_tpu.mpc import solver as mpc
+from g1_locomotion_tpu.wbid.stack import StackIndices
+
+
+@pytest.fixture(scope="module")
+def walk_run(g1):
+    cfg = eng.EngineConfig(mpc=mpc.MPCConfig(horizon=20), sway_gain=0.6)
+    params = eng.default_scenario(jnp.float64)
+    params = params._replace(
+        gait=params.gait._replace(n_steps=jnp.asarray(2.0, jnp.float64)),
+        v_cmd=jnp.array([0.1, 0.0], jnp.float64),
+    )
+    rollout = eng.make_rollout(g1, cfg)
+    state = eng.init_state(g1, cfg, jnp.float64)
+    # 0.5 stand + 2 steps x 0.5 + 1.5 settle = 3.0 s = 75 MPC periods.
+    run = jax.jit(lambda s: rollout(s, params, 75))
+    final, logs = run(state)
+    return cfg, params, final, logs
+
+
+def test_walk_completes_and_stands(g1, walk_run):
+    """Both steps execute; the robot ends in a quiet stand at target height."""
+    cfg, params, final, logs = walk_run
+    com = np.asarray(logs.com).reshape(-1, 3)
+    assert np.isfinite(com).all()
+    assert com[:, 2].min() > 0.45, com[:, 2].min()
+    # Final: quiet stand at the CoM height target.
+    np.testing.assert_allclose(com[-1, 2], cfg.com_height, atol=0.01)
+    assert abs(com[-1, 1]) < 0.05, com[-1]
+    assert float(jnp.abs(final.v).max()) < 0.3
+
+    from g1_locomotion_tpu.core import rotations as rot
+
+    rpy = np.asarray(rot.quat_to_rpy(final.q[3:7]))
+    assert np.abs(rpy[:2]).max() < 0.15, rpy
+
+
+def test_walk_advances(g1, walk_run):
+    """Each foot takes one 0.10 m step forward (fixed plan, leapfrog)."""
+    cfg, params, final, logs = walk_run
+    X = rb.fk(g1, final.q)
+    idx = StackIndices.from_model(g1)
+    feet_x = [float(rb.frame_pose(g1, X, f).p[0]) for f in idx.feet]
+    assert feet_x[0] > 0.07, feet_x  # started at ~0.021
+    assert feet_x[1] > 0.07, feet_x
+    com = np.asarray(logs.com).reshape(-1, 3)
+    assert com[-1, 0] - com[0, 0] > 0.04, (com[0, 0], com[-1, 0])
+
+
+def test_walk_contact_sequence(g1, walk_run):
+    """One left swing then one right swing; never both feet off the ground."""
+    cfg, params, final, logs = walk_run
+    contact = np.asarray(logs.contact).reshape(-1, 4)
+    left_up = (contact[:, 0] < 0.5).astype(int)
+    right_up = (contact[:, 2] < 0.5).astype(int)
+    assert int(np.clip(np.diff(left_up), 0, 1).sum()) == 1
+    assert int(np.clip(np.diff(right_up), 0, 1).sum()) == 1
+    assert not ((contact[:, 0] < 0.5) & (contact[:, 2] < 0.5)).any()
+
+
+def test_walk_swing_forces_zero(g1, walk_run):
+    """MPC forces on swing contacts are exactly zero (masked QP columns)."""
+    cfg, params, final, logs = walk_run
+    contact = np.asarray(logs.contact).reshape(-1, 4)
+    forces = np.asarray(logs.forces).reshape(-1, 4, 3)
+    swing_mask = contact < 0.5
+    assert np.abs(forces[swing_mask]).max() < 1e-3
+
+
+def test_walk_torques_bounded(g1, walk_run):
+    cfg, params, final, logs = walk_run
+    tau = np.asarray(logs.tau).reshape(-1, g1.nj)
+    assert (np.abs(tau) <= np.asarray(g1.tau_max)[None, :] + 1e-6).all()

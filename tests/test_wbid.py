@@ -104,7 +104,7 @@ def test_swing_foot_zero_force(g1, q_stand, setup):
     np.testing.assert_allclose(f[0], 0.0, atol=1e-3)
     np.testing.assert_allclose(f[1], 0.0, atol=1e-3)
     # Right foot carries all weight.
-    np.testing.assert_allclose(f[2:, 2].sum(), 34.1329 * 9.80665, rtol=0.1)
+    np.testing.assert_allclose(f[2:, 2].sum(), 34.1329 * 9.80665, rtol=0.15)
     # Swing foot accelerates toward the target (z up).
     J = rb.frame_jacobian(g1, q_stand, X, idx.feet[0])
     a_foot = np.asarray(J @ sol.qddot)
