@@ -6,9 +6,14 @@ Prints ONE JSON line:
      "vs_baseline": N / 10000}
 
 The measured op is the full MPC update (SRBD linearization + ZOH + horizon
-condensation + friction-cone stacking + ADMM solve + horizon rollout) at
-N=10, vmapped over a batch of standing/walking scenarios — the workload the
-reference does per tick on CPU in 2-7.6 ms (BASELINE.md).
+condensation + friction-cone stacking + ADMM solve with active-set polish +
+horizon rollout) at N=10, vmapped over scenarios with *mixed contact
+patterns* — every instance builds and solves its own QP (uniform patterns
+would let XLA hoist the shared KKT inverse and overstate throughput).
+
+Timing uses the slope method (jitted inner fori_loop over reps, timed at two
+rep counts, host readback of a scalar) — robust to async dispatch on
+tunneled TPU runtimes where block_until_ready under-measures.
 """
 
 import json
@@ -17,6 +22,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main() -> None:
@@ -41,7 +47,8 @@ def main() -> None:
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 
-    # Mixed contact patterns (standing + left/right swing) like a gait sweep.
+    # Mixed contact patterns (standing / left swing / right swing) so every
+    # instance assembles + factors its own QP.
     key = jax.random.PRNGKey(0)
     pattern = jax.random.randint(key, (B,), 0, 3)
     stand = jnp.ones((N, 4), dtype)
@@ -55,21 +62,22 @@ def main() -> None:
     )
 
     @jax.jit
-    def run(x0s, contact):
-        return jax.vmap(
-            lambda x, c: mpc.solve(cfg, weights, params, x, x_ref, c, c_hor, p_hor)
-        )(x0s, contact)
+    def rep(x0s, contact, reps):
+        def body(i, carry):
+            xs = x0s + carry * 1e-20
+            sols = jax.vmap(
+                lambda x, c: mpc.solve(cfg, weights, params, x, x_ref, c, c_hor, p_hor)
+            )(xs, contact)
+            return jnp.sum(sols.u0[:, 2::3]) * 1e-24 + 0.0 * jnp.max(sols.pri_res)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    # Warm up / compile.
-    sols = jax.block_until_ready(run(x0s, contact))
-
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        sols = jax.block_until_ready(run(x0s, contact))
-    t1 = time.perf_counter()
-
-    per_batch = (t1 - t0) / reps
+    ts = {}
+    for reps in (1, 5):
+        _ = np.asarray(rep(x0s, contact, reps))  # compile/warm
+        t0 = time.perf_counter()
+        _ = np.asarray(rep(x0s, contact, reps))
+        ts[reps] = time.perf_counter() - t0
+    per_batch = (ts[5] - ts[1]) / 4.0
     solves_per_s = B / per_batch
 
     print(

@@ -42,7 +42,7 @@ def demo_walking(
     settles back to quiet standing. Uses N=20 (full next-step preview) —
     the validated walking configuration."""
     model = load_robot("g1_23dof", dtype=dtype)
-    cfg = eng.EngineConfig(mpc=mpc.MPCConfig(horizon=20), sway_gain=0.6)
+    cfg = eng.walking_config()
     params = eng.default_scenario(dtype)
     params = params._replace(
         gait=params.gait._replace(n_steps=jnp.asarray(float(n_steps), dtype)),

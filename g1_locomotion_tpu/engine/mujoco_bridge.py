@@ -1,0 +1,136 @@
+"""MuJoCo closed-loop validation harness (host-side oracle).
+
+Replicates the reference's architecture exactly — MuJoCo steps physics at
+1 kHz while our MPC+WBID cascade computes torques
+(ros_run_simulation.py:341-519) — but with the controller being the
+TPU-native jitted cascade. Used by tests to validate the controller against
+real contact physics rather than the internal constrained-dynamics plant.
+
+Frame conversions follow ros_run_simulation.py:354-368:
+MuJoCo qvel linear is world-frame, ours is base-local; angular is local in
+both; qpos quaternion layout (w,x,y,z) matches our internal convention.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from g1_locomotion_tpu.core import rotations as rot
+from g1_locomotion_tpu.engine import tick as eng
+from g1_locomotion_tpu.engine.state import q_init_standing
+from g1_locomotion_tpu.models import robot as rb
+from g1_locomotion_tpu.models.mjcf import export_mjcf
+from g1_locomotion_tpu.models.robot import RobotModel
+from g1_locomotion_tpu.models.urdf import spec_from_dict
+from g1_locomotion_tpu.wbid.stack import StackIndices
+
+
+class MujocoLoop:
+    """Closed loop: MuJoCo plant + jitted MPC/WBID controller."""
+
+    def __init__(
+        self,
+        model: RobotModel,
+        cfg: Optional[eng.EngineConfig] = None,
+        params: Optional[eng.ScenarioParams] = None,
+        variant: str = "g1_23dof",
+        settle_ticks: int = 300,
+    ):
+        import mujoco
+
+        self._mujoco = mujoco
+        self.model = model
+        self.cfg = cfg or eng.EngineConfig()
+        self.params = params or eng.default_scenario(jnp.float64)
+        self.idx = StackIndices.from_model(model)
+
+        asset = Path(rb.__file__).parent / "assets" / f"{variant}.json"
+        spec = spec_from_dict(json.loads(asset.read_text()))
+        self.mj_model = mujoco.MjModel.from_xml_string(
+            export_mjcf(spec, with_floor=True)
+        )
+        self.mj_data = mujoco.MjData(self.mj_model)
+        self.mj_data.qpos[:] = np.asarray(q_init_standing(model, jnp.float64))
+        mujoco.mj_forward(self.mj_model, self.mj_data)
+
+        # Let the robot settle onto the floor passively held at q_init by
+        # strong joint PD before engaging the cascade (the reference's sim
+        # starts slightly above ground too, config.py:6 comment).
+        q0 = self.mj_data.qpos[7:].copy()
+        for _ in range(settle_ticks):
+            tau = 300.0 * (q0 - self.mj_data.qpos[7:]) - 10.0 * self.mj_data.qvel[6:]
+            self.mj_data.ctrl[:] = np.clip(
+                tau, -np.asarray(model.tau_max), np.asarray(model.tau_max)
+            )
+            mujoco.mj_step(self.mj_model, self.mj_data)
+
+        self.state = eng.init_state(model, self.cfg, jnp.float64)
+        self.state = self.state._replace(
+            q=jnp.asarray(self.read_q()), v=jnp.asarray(self.read_v())
+        )
+        # Re-anchor references to the settled pose.
+        from g1_locomotion_tpu.engine import plant as plant_mod
+
+        X = rb.fk(model, self.state.q)
+        feet = jnp.stack(
+            [rb.frame_pose(model, X, f).p for f in self.idx.feet]
+        )
+        feet_R = jnp.stack(
+            [rb.frame_pose(model, X, f).R for f in self.idx.feet]
+        )
+        self.state = self.state._replace(
+            contact_hold=feet,
+            contact_hold_R=feet_R,
+            swing_start=feet,
+            anchors=plant_mod.anchors_from_state(model, self.idx, self.state.q),
+            p_origin=rb.com_position(model, X)[:2],
+        )
+
+        self._mpc_jit = jax.jit(
+            lambda s: eng._mpc_stage(model, self.idx, self.cfg, self.params, s)[0]
+        )
+        self._wbid_jit = jax.jit(
+            lambda s: eng._wbid_tick(model, self.idx, self.cfg, self.params, s)
+        )
+
+    def read_q(self) -> np.ndarray:
+        return self.mj_data.qpos.copy()
+
+    def read_v(self) -> np.ndarray:
+        qv = self.mj_data.qvel.copy()
+        R = np.asarray(rot.quat_to_matrix(jnp.asarray(self.mj_data.qpos[3:7])))
+        v = qv.copy()
+        v[:3] = R.T @ qv[:3]  # world -> base-local linear velocity
+        return v
+
+    def run(self, n_ticks: int):
+        """Run the cascade against MuJoCo for n_ticks ms. Returns log dict."""
+        mujoco = self._mujoco
+        log = {"com": [], "tau": [], "fz": []}
+        for t in range(n_ticks):
+            # Sync measured state into the engine.
+            self.state = self.state._replace(
+                q=jnp.asarray(self.read_q()), v=jnp.asarray(self.read_v())
+            )
+            if t % self.cfg.ticks_per_mpc == 0:
+                self.state = self._mpc_jit(self.state)
+            new_state, ticklog = self._wbid_jit(self.state)
+            tau = np.asarray(ticklog.tau)
+            # Carry controller state but keep the plant state from MuJoCo.
+            self.state = new_state
+            self.mj_data.ctrl[:] = np.clip(
+                tau, -np.asarray(self.model.tau_max), np.asarray(self.model.tau_max)
+            )
+            mujoco.mj_step(self.mj_model, self.mj_data)
+
+            log["com"].append(np.asarray(ticklog.com))
+            log["tau"].append(tau)
+            log["fz"].append(np.asarray(ticklog.forces)[:, 2])
+        return {k: np.stack(v) for k, v in log.items()}

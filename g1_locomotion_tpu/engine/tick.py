@@ -64,6 +64,32 @@ class ScenarioParams(NamedTuple):
     v_cmd: jnp.ndarray  # (2,) commanded planar velocity
 
 
+def walking_config() -> EngineConfig:
+    """The validated walking configuration (BASELINE config 1 demo).
+
+    Horizon N=20 previews the full next step; moderated sway; QP solvers on
+    the factorization path with full polish — closed-loop walking is
+    knife-edge sensitive to solver numerics, and this combination is the
+    validated one (the matmul-inverse fast path is for throughput workloads;
+    its ~1e-12 solution differences are enough to perturb the marginal
+    lateral dynamics of the walk).
+    """
+    from g1_locomotion_tpu.ops.qp import QPConfig
+
+    return EngineConfig(
+        mpc=mpc.MPCConfig(
+            horizon=20,
+            qp=QPConfig(iters=60, scaling_iters=0, rho=1.0, rho_segments=2,
+                        matmul_inverse=False, polish_rounds=3),
+        ),
+        wbid=wbid.WBIDConfig(
+            qp=QPConfig(iters=50, scaling_iters=3, rho=0.1, rho_segments=2,
+                        matmul_inverse=False, polish_rounds=3)
+        ),
+        sway_gain=0.6,
+    )
+
+
 def default_scenario(dtype=jnp.float32) -> ScenarioParams:
     return ScenarioParams(
         srbd=srbd.default_params(dtype),

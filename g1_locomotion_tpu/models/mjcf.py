@@ -100,9 +100,14 @@ def export_mjcf(
             rng = ""
             if with_limits and np.isfinite(b.joint.limit_lower) and np.isfinite(b.joint.limit_upper):
                 rng = f' range="{b.joint.limit_lower:.12g} {b.joint.limit_upper:.12g}" limited="true"'
+            extra = ' armature="0.01" damping="0.1"' if with_floor else ""
+            # Reflected rotor inertia + light damping for closed-loop sims:
+            # without armature, low-inertia wrist joints are explosively stiff
+            # at the 1 kHz explicit integrator (vendor hardware has gearbox
+            # rotor inertia of this order).
             lines.append(
                 f'{indent}  <joint name="{b.joint.name}" type="hinge" pos="0 0 0" '
-                f'axis="{_fmt(b.joint.axis)}"{rng}/>'
+                f'axis="{_fmt(b.joint.axis)}"{rng}{extra}/>'
             )
         if b.mass > 0:
             I = b.inertia

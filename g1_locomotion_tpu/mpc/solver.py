@@ -33,7 +33,7 @@ class MPCConfig(NamedTuple):
     fz_min: float = 10.0       # min normal force in stance [N] (wbid.py:123)
     fz_max: float = 1000.0     # max normal force [N] (wbid.py:124)
     qp: qplib.QPConfig = qplib.QPConfig(iters=60, scaling_iters=0, rho=1.0,
-                                        rho_segments=2)
+                                        rho_segments=2, polish_rounds=1)
 
 
 class MPCWeights(NamedTuple):

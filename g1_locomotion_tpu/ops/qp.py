@@ -30,6 +30,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from g1_locomotion_tpu.ops.lin import spd_inverse
+
 
 class QPSolution(NamedTuple):
     x: jnp.ndarray  # (n,) primal
@@ -49,6 +51,10 @@ class QPConfig(NamedTuple):
     polish: bool = True
     polish_reg: float = 1e-9
     rho_segments: int = 4  # spectral rho updates + refactor between segments
+    matmul_inverse: bool = True  # matmul-only SPD inverse instead of Cholesky
+    # (XLA's batched cholesky/trisolve are sequential and 40-230 ms per
+    # batched call on TPU; the recursive Schur inverse is MXU-bound)
+    polish_rounds: int = 3  # active-set re-detection rounds (1 = cheapest)
 
 
 def _inf_norm(v):
@@ -115,18 +121,27 @@ def _ruiz_equilibrate(P, q, A, l, u, iters: int):
     return P, q, A, l, u, d, e, c
 
 
-def _factor(P, A, rho_vec, sigma):
-    K = (
+def _build_K(P, A, rho_vec, sigma):
+    return (
         P
         + sigma * jnp.eye(P.shape[0], dtype=P.dtype)
         + (A.T * rho_vec[None, :]) @ A
     )
-    return jnp.linalg.cholesky(K)
 
 
-def _cho_solve(L, b):
-    w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+def _make_solver(K, matmul_inverse: bool):
+    """Return a solve(rhs) closure: precomputed matmul inverse (TPU fast
+    path) or Cholesky factorization (reference path)."""
+    if matmul_inverse:
+        Kinv = spd_inverse(K)
+        return lambda b: Kinv @ b
+    L = jnp.linalg.cholesky(K)
+
+    def solve(b):
+        w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+
+    return solve
 
 
 def solve_qp(
@@ -175,11 +190,11 @@ def _solve_qp_impl(P, q, A, l, u, cfg, x0, y0) -> QPSolution:
     z = A_s @ x
     y = jnp.zeros(m, dtype) if y0 is None else y0 * c / e
 
-    def iterate(carry, L, rho_vec, num):
+    def iterate(carry, solve, rho_vec, num):
         def body(_, carry):
             x, z, y = carry
             rhs = cfg.sigma * x - q_s + A_s.T @ (rho_vec * z - y)
-            x_t = _cho_solve(L, rhs)
+            x_t = solve(rhs)
             z_t = A_s @ x_t
             x_n = cfg.alpha * x_t + (1 - cfg.alpha) * x
             z_ax = cfg.alpha * z_t + (1 - cfg.alpha) * z
@@ -195,9 +210,11 @@ def _solve_qp_impl(P, q, A, l, u, cfg, x0, y0) -> QPSolution:
     segs = max(1, cfg.rho_segments)
     per = max(1, cfg.iters // segs)
     for s in range(segs):
-        L = _factor(P_s, A_s, rho_vec, cfg.sigma)
+        solve = _make_solver(
+            _build_K(P_s, A_s, rho_vec, cfg.sigma), cfg.matmul_inverse
+        )
         num = per if s < segs - 1 else cfg.iters - per * (segs - 1)
-        x, z, y = iterate((x, z, y), L, rho_vec, num)
+        x, z, y = iterate((x, z, y), solve, rho_vec, num)
         if s < segs - 1:
             Ax = A_s @ x
             pri = _inf_norm(Ax - z) / jnp.maximum(
@@ -215,7 +232,7 @@ def _solve_qp_impl(P, q, A, l, u, cfg, x0, y0) -> QPSolution:
             rho_vec = jnp.clip(rho_vec * scale, 1e-4, 1e6)
 
     if cfg.polish:
-        x, y = _polish(P_s, q_s, A_s, l_s, u_s, x, y, cfg)
+        x, y = _polish(P_s, q_s, A_s, l_s, u_s, x, y, cfg, rounds=cfg.polish_rounds)
         z = jnp.clip(A_s @ x, l_s, u_s)
 
     # Unscale.
@@ -241,6 +258,10 @@ def _polish(P, q, A, l, u, x, y, cfg: QPConfig, rounds: int = 3):
     dtype = P.dtype
     eye_n = jnp.eye(n, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
+    # Hr is constant across rounds — compute its inverse once (matmul path).
+    Hr_inv = (
+        spd_inverse(P + cfg.polish_reg * eye_n) if cfg.matmul_inverse else None
+    )
 
     def kkt(xx, yy):
         zz = jnp.clip(A @ xx, l, u)
@@ -267,12 +288,27 @@ def _polish(P, q, A, l, u, x, y, cfg: QPConfig, rounds: int = 3):
         mask = active.astype(dtype)
         A_m = A * mask[:, None]
         reg = cfg.polish_reg
-        top = jnp.concatenate([P + reg * eye_n, A_m.T], axis=1)
-        bot = jnp.concatenate([A_m, -jnp.diag(1.0 - mask) - reg * eye_m], axis=1)
-        K = jnp.concatenate([top, bot], axis=0)
-        rhs = jnp.concatenate([-q, b_act * mask])
-        sol = jnp.linalg.solve(K, rhs)
-        x_p, y_p = sol[:n], sol[n:]
+        b_t = b_act * mask
+        if cfg.matmul_inverse:
+            # KKT solve via SPD Schur complement (matmul-only — LU on TPU is
+            # the slowest primitive we measured):
+            #   [Hr  Amᵀ][x]   [-q ]      Hr = P + reg I (SPD)
+            #   [Am  -Dm][y] = [ b̃ ]      Dm = diag(1-mask) + reg I (SPD)
+            #   y = (Am Hr⁻¹ Amᵀ + Dm)⁻¹ (Am Hr⁻¹(-q) - b̃); x = Hr⁻¹(-q - Amᵀy)
+            AmHi = A_m @ Hr_inv
+            S = AmHi @ A_m.T + jnp.diag(1.0 - mask) + reg * eye_m
+            y_p = spd_inverse(S) @ (AmHi @ (-q) - b_t)
+            x_p = Hr_inv @ (-q - A_m.T @ y_p)
+        else:
+            # Reference path: exact indefinite-KKT LU solve.
+            top = jnp.concatenate([P + reg * eye_n, A_m.T], axis=1)
+            bot = jnp.concatenate(
+                [A_m, -jnp.diag(1.0 - mask) - reg * eye_m], axis=1
+            )
+            Kkt = jnp.concatenate([top, bot], axis=0)
+            rhs = jnp.concatenate([-q, b_t])
+            sol = jnp.linalg.solve(Kkt, rhs)
+            x_p, y_p = sol[:n], sol[n:]
         res_p = kkt(x_p, y_p)
         better = res_p < best
         x = jnp.where(better, x_p, x)

@@ -22,7 +22,7 @@ from g1_locomotion_tpu.wbid.stack import StackIndices
 
 @pytest.fixture(scope="module")
 def walk_run(g1):
-    cfg = eng.EngineConfig(mpc=mpc.MPCConfig(horizon=20), sway_gain=0.6)
+    cfg = eng.walking_config()
     params = eng.default_scenario(jnp.float64)
     params = params._replace(
         gait=params.gait._replace(n_steps=jnp.asarray(2.0, jnp.float64)),
