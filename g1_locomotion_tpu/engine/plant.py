@@ -96,6 +96,9 @@ def constrained_step(
     # contact force on the robot is f = -lam.
 
     v_next = v + cfg.dt * a
+    # Keep post-fall dynamics finite: a toppled scenario in a sweep should
+    # report as fallen, not poison the batch statistics with NaNs.
+    v_next = jnp.clip(v_next, -100.0, 100.0)
     q_next = rb.integrate_q(model, q, v_next, cfg.dt)
     return q_next, v_next, forces
 

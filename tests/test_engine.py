@@ -53,6 +53,27 @@ def test_standing_rollout_stable(g1, standing_engine):
     np.testing.assert_allclose(fz.mean(), 34.1329 * 9.80665, rtol=0.1)
 
 
+def test_push_recovery(g1):
+    """BASELINE config 2: N=20 MPC recovers a (0.2, 0.12) m/s push without
+    stepping — CoM returns to target with near-zero residual velocity."""
+    from g1_locomotion_tpu.mpc import solver as mpc
+
+    cfg = eng.EngineConfig(mpc=mpc.MPCConfig(horizon=20))
+    params = eng.default_scenario(jnp.float64)
+    params = params._replace(
+        gait=params.gait._replace(n_steps=jnp.asarray(0.0, jnp.float64))
+    )
+    rollout = eng.make_rollout(g1, cfg)
+    state = eng.init_state(g1, cfg, jnp.float64)
+    state = state._replace(v=state.v.at[0].set(0.2).at[1].set(0.12))
+    final, logs = jax.jit(lambda s: rollout(s, params, 63))(state)
+    com = np.asarray(logs.com).reshape(-1, 3)
+    assert np.isfinite(com).all()
+    np.testing.assert_allclose(com[-1, 2], cfg.com_height, atol=0.01)
+    assert abs(com[-1, 1]) < 0.02
+    assert float(jnp.linalg.norm(final.v[:6])) < 0.1
+
+
 def test_velocity_drift_bounded(g1, standing_engine):
     cfg, params, rollout = standing_engine
     state = eng.init_state(g1, cfg, jnp.float64)
