@@ -17,7 +17,7 @@ def main(argv=None) -> None:
     w = sub.add_parser("walking", help="config 1: straight-line walking demo")
     w.add_argument("--seconds", type=float, default=2.5)
     w.add_argument("--vx", type=float, default=0.1)
-    w.add_argument("--steps", type=int, default=4)
+    w.add_argument("--steps", type=int, default=2)
     w.add_argument("--log", type=str, default=None)
     w.add_argument("--plot", type=str, default=None)
 

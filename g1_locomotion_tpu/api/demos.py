@@ -62,7 +62,7 @@ def demo_walking(
         "wall_seconds": wall,
         "final_com": com[-1].tolist(),
         "com_x_travel": float(com[-1, 0] - com[0, 0]),
-        "fell": bool(com[-1, 2] < 0.35),
+        "fell": bool(com[-1, 2] < 0.5 or abs(com[-1, 1]) > 0.3),
     }
     if log_path:
         viz.save_log(log_path, logs)
