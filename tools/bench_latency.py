@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Single-solve MPC latency (the reference's per-tick budget metric).
+
+BASELINE: p99 solve latency < 2 ms control-tick budget (the reference's CPU
+solve takes 2-7.6 ms). Measures the *on-device* latency of one sequential MPC
+solve by chaining k data-dependent solves inside one jitted program and taking
+the slope between two chain lengths — excludes host/tunnel dispatch, which
+dominates naive timing on remote TPU runtimes.
+
+Prints one JSON line: {"metric": "mpc_solve_latency_ms", ...}.
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from g1_locomotion_tpu.models import srbd
+    from g1_locomotion_tpu.mpc import solver as mpc
+
+    dtype = jnp.float32
+    cfg = mpc.MPCConfig(horizon=10)
+    weights = mpc.default_weights(dtype)
+    params = srbd.default_params(dtype)
+    N = cfg.horizon
+    com = jnp.array([0.0527, 0.0, 0.598], dtype)
+    feet = jnp.array(
+        [[-0.05, 0.12, 0.0], [0.12, 0.12, 0.0], [-0.05, -0.12, 0.0], [0.12, -0.12, 0.0]],
+        dtype,
+    )
+    x0 = jnp.zeros(13, dtype).at[3:6].set(com).at[12].set(srbd.GRAVITY)
+    x_ref = jnp.tile(x0[None], (N, 1))
+    contact = jnp.ones((N, 4), dtype)
+    c_hor = jnp.tile(feet[None], (N, 1, 1))
+    p_hor = jnp.tile(com[None], (N, 1))
+
+    @jax.jit
+    def chain(x0, k):
+        def body(i, x):
+            sol = mpc.solve(cfg, weights, params, x, x_ref, contact, c_hor, p_hor)
+            # Data dependence: next state perturbed by this solve's output.
+            return x + 1e-9 * jnp.pad(sol.u0, (0, 1))
+        return jax.lax.fori_loop(0, k, body, x0)
+
+    ks = (2, 22)
+    ts = {}
+    for k in ks:
+        _ = np.asarray(chain(x0, k))  # compile/warm + sync
+        t0 = time.perf_counter()
+        _ = np.asarray(chain(x0, k))
+        ts[k] = time.perf_counter() - t0
+    per_solve_ms = (ts[ks[1]] - ts[ks[0]]) / (ks[1] - ks[0]) * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_solve_latency_ms",
+                "value": round(per_solve_ms, 3),
+                "unit": "ms",
+                "budget_ms": 2.0,
+                "within_budget": per_solve_ms < 2.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
