@@ -1,0 +1,53 @@
+"""Golden-trajectory regression test.
+
+The reference has no tests; its de-facto correctness check is comparing the
+MPC plan against realized state in PlotJuggler (SURVEY.md §4). Here the
+equivalent is a recorded golden rollout: the first 0.76 s of the validated
+walking demo (stand + first swing onset) — contact forces, joint torques and
+CoM — compared exactly. Closed-loop walking is chaotically sensitive to
+solver numerics (a polish-formulation change once silently broke the walk),
+so ANY drift here must be understood: if an intentional solver change moves
+the trajectory, re-record with tools/update_golden (and re-validate the full
+walk first).
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g1_locomotion_tpu.engine import tick as eng
+
+GOLDEN = Path(__file__).parent / "goldens" / "walk_golden.npz"
+
+
+@pytest.mark.skipif(not GOLDEN.exists(), reason="golden not recorded")
+def test_walk_golden_trajectory(g1):
+    cfg = eng.walking_config()
+    params = eng.default_scenario(jnp.float64)
+    params = params._replace(
+        gait=params.gait._replace(n_steps=jnp.asarray(2.0, jnp.float64)),
+        v_cmd=jnp.array([0.1, 0.0], jnp.float64),
+    )
+    rollout = eng.make_rollout(g1, cfg)
+    state = eng.init_state(g1, cfg, jnp.float64)
+    final, logs = jax.jit(lambda s: rollout(s, params, 19))(state)
+
+    with np.load(GOLDEN) as z:
+        com_g, tau_g, forces_g, contact_g = (
+            z["com"], z["tau"], z["forces"], z["contact"]
+        )
+
+    com = np.asarray(logs.com).reshape(-1, 3)
+    tau = np.asarray(logs.tau).reshape(-1, 23)
+    forces = np.asarray(logs.forces).reshape(-1, 4, 3)
+    contact = np.asarray(logs.contact).reshape(-1, 4)
+
+    np.testing.assert_array_equal(contact, contact_g)
+    # Tolerances absorb platform-level rounding (BLAS order, fused ops) but
+    # catch any behavioral change from solver/model edits.
+    np.testing.assert_allclose(com, com_g, atol=1e-4)
+    np.testing.assert_allclose(tau, tau_g, atol=5e-2)
+    np.testing.assert_allclose(forces, forces_g, atol=5e-1)
