@@ -51,6 +51,14 @@ class EngineConfig(NamedTuple):
     com_height: float = 0.598  # standing CoM target (run_simulation.py:81)
     sway_gain: float = 0.6  # fraction of support-centroid lateral sway in the
                             # CoM reference (pre-swing weight shift)
+    gate_pos_tol: float = 0.05   # weight-transfer gate: |y_com - y_target| [m]
+    gate_vel_tol: float = 0.25   # and |vy_com| [m/s] before a swing may start
+    gate_window: float = 0.0     # last fraction of DS where the gate applies
+                                 # (0 = disabled; the gate delays swing onset
+                                 # until weight transfer completes, but cannot
+                                 # by itself fix mid-swing lateral drift —
+                                 # kept as infrastructure for step-timing
+                                 # adaptation work)
 
 
 class ScenarioParams(NamedTuple):
@@ -117,6 +125,9 @@ class EngineState(NamedTuple):
     contact_hold_R: jnp.ndarray  # (2, 3, 3)
     prev_stance: jnp.ndarray  # (2,) stance flags from the previous tick
     anchors: jnp.ndarray      # (4, 3) contact pin positions for the plant
+    gait_clock: jnp.ndarray   # scalar gait time — advances with sim time but
+                              # pauses at the end of double support until the
+                              # weight transfer completes (state-gated gait)
     p_origin: jnp.ndarray     # (2,) CoM xy at walk start — anchors the
                               # absolute reference ramp (the reference uses a
                               # fixed CoM target, run_simulation.py:81)
@@ -154,6 +165,7 @@ def init_state(model: RobotModel, cfg: EngineConfig, dtype=jnp.float32) -> Engin
         contact_hold_R=feet_R,
         prev_stance=jnp.ones(2, dtype),
         anchors=plant_mod.anchors_from_state(model, idx, q).astype(dtype),
+        gait_clock=jnp.asarray(0.0, dtype),
         p_origin=rb.com_position(model, X)[:2].astype(dtype),
     )
 
@@ -185,9 +197,9 @@ def _mpc_stage(
     body_X = rb.fk(model, state.q)
     x0 = srbd_state_from_wholebody(model, state.q, state.v, body_X)
 
-    # Gait over the horizon.
-    contact_hor = gs.contact_horizon(params.gait, state.t, N, cfg.mpc.dt)
-    step_idx, in_swing, swing_is_left, _ = gs.phase_info(params.gait, state.t)
+    # Gait over the horizon (gait time = the gated clock, not wall sim time).
+    contact_hor = gs.contact_horizon(params.gait, state.gait_clock, N, cfg.mpc.dt)
+    step_idx, in_swing, swing_is_left, _ = gs.phase_info(params.gait, state.gait_clock)
 
     # Current contact point positions (4: L-heel, L-toe, R-heel, R-toe).
     cpos = jnp.stack(
@@ -220,7 +232,7 @@ def _mpc_stage(
         + params.gait.double_support_duration
         + params.gait.swing_duration
     )
-    T_rem = jnp.clip(swing_end_t - state.t, 0.0, None)
+    T_rem = jnp.clip(swing_end_t - state.gait_clock, 0.0, None)
     y_td = x0[4] + x0[10] * T_rem  # ballistic CoM prediction at touchdown
     k_r = 8.0 * params.steps.raibert_gain
     y_land = (
@@ -255,7 +267,7 @@ def _mpc_stage(
         + params.gait.double_support_duration
         + params.gait.swing_duration
     )
-    ts = state.t + cfg.mpc.dt * jnp.arange(N, dtype=dtype)
+    ts = state.gait_clock + cfg.mpc.dt * jnp.arange(N, dtype=dtype)
     after_touchdown = ts >= swing_end  # (N,)
     in_step = (step_idx >= 0) & (step_idx < params.gait.n_steps)
 
@@ -355,7 +367,7 @@ def _wbid_tick(
     right_active = jnp.maximum(state.contact_now[2], state.contact_now[3])
     contact_active = jnp.stack([left_active, right_active])
 
-    _, in_swing, swing_is_left, progress = gs.phase_info(params.gait, state.t)
+    _, in_swing, swing_is_left, progress = gs.phase_info(params.gait, state.gait_clock)
 
     # Per-foot stance transitions — the jit equivalent of the reference's
     # task reset()s in switch_procedure (ros_run_simulation.py:230-244):
@@ -445,8 +457,34 @@ def _wbid_tick(
         state.contact_now, anchors,
     )
 
+    # Weight-transfer gate: in the tail of double support, pause the gait
+    # clock until the CoM is over (and settling above) the upcoming stance
+    # foot. Without this, swings start with residual lateral velocity and the
+    # LIPM fall compounds step over step (the round's main walking failure).
+    com_now = rb.com_position(model, body_X)
+    vy_now = rb.com_velocity(model, state.q, state.v, body_X)[1]
+    half = params.gait.swing_duration + params.gait.double_support_duration
+    tau_g = state.gait_clock - params.gait.start_time
+    step_f = jnp.floor(tau_g / half)
+    in_gait = (tau_g >= 0.0) & (step_f < params.gait.n_steps)
+    t_in_step = tau_g - step_f * half
+    ds = params.gait.double_support_duration
+    in_ds_tail = in_gait & (t_in_step < ds) & (
+        t_in_step > (1.0 - cfg.gate_window) * ds
+    )
+    next_swing_left = jnp.mod(jnp.maximum(step_f, 0.0), 2.0) < 0.5
+    y_stance_next = jnp.where(next_swing_left, feet_now[1, 1], feet_now[0, 1])
+    # Gate against the *swayed* reference target (the MPC is commanded
+    # sway_gain of the way to the stance foot — demanding the full shift
+    # here would deadlock the clock).
+    y_target = cfg.sway_gain * y_stance_next
+    gate_ok = (jnp.abs(com_now[1] - y_target) < cfg.gate_pos_tol) & (
+        jnp.abs(vy_now) < cfg.gate_vel_tol
+    )
+    clock_rate = jnp.where(in_ds_tail & ~gate_ok, 0.0, 1.0)
+
     log = TickLog(
-        com=rb.com_position(model, body_X),
+        com=com_now,
         tau=sol.tau,
         forces=sol.forces,
         contact=state.contact_now,
@@ -462,6 +500,7 @@ def _wbid_tick(
         contact_hold_R=contact_hold_R,
         prev_stance=contact_active.astype(dtype),
         anchors=anchors,
+        gait_clock=state.gait_clock + clock_rate * cfg.plant.dt,
     )
     return new_state, log
 
