@@ -48,13 +48,15 @@ def constrained_step(
     tau: jnp.ndarray,          # (nj,) actuated torques (clipped to limits here)
     active: jnp.ndarray,       # (NCP,) 0/1 contact flags
     anchors: jnp.ndarray,      # (NCP, 3) world pin positions
+    body_X=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One 1 kHz physics tick. Returns (q_next, v_next, contact_forces (NCP,3))."""
     dtype = q.dtype
     nv = model.nv
 
     tau = jnp.clip(tau, -model.tau_max, model.tau_max)
-    body_X = rb.fk(model, q)
+    if body_X is None:
+        body_X = rb.fk(model, q)
 
     M = dyn.crba(model, q)
     h = dyn.bias_force(model, q, v)

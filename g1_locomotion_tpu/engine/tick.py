@@ -446,7 +446,8 @@ def _wbid_tick(
     )
 
     sol = wbid.solve(
-        model, idx, cfg.wbid, params.wbid_gains, state.q, state.v, refs
+        model, idx, cfg.wbid, params.wbid_gains, state.q, state.v, refs,
+        body_X=body_X,
     )
 
     # Whole-body plant: constrained forward dynamics driven by the WBID
@@ -454,7 +455,7 @@ def _wbid_tick(
     # ros_run_simulation.py:417-419 applies tau[6:] and calls mj_step).
     q_new, v_new, plant_forces = plant_mod.constrained_step(
         model, idx, cfg.plant, state.q, state.v, sol.tau,
-        state.contact_now, anchors,
+        state.contact_now, anchors, body_X=body_X,
     )
 
     # Weight-transfer gate: in the tail of double support, pause the gait

@@ -25,6 +25,36 @@ def scenario_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.array(devices), (SCENARIO_AXIS,))
 
 
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (the NCCL/MPI-equivalent bootstrap; the
+    reference's transport was single-machine ROS TCPROS, SURVEY.md §2.7).
+
+    On TPU pods with standard env configuration the arguments are inferred;
+    pass them explicitly elsewhere. Call once per process before any jax op.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def pod_mesh() -> Mesh:
+    """Scenario mesh over every device of every host in the job.
+
+    jax.devices() is global after distributed_init; each host feeds its
+    addressable shard of the scenario batch. The per-tick cascade is
+    collective-free, so cross-host traffic is only the psum'd sweep
+    statistics — DCN-light by construction (BASELINE: >=80% scaling
+    efficiency target).
+    """
+    return Mesh(np.array(jax.devices()), (SCENARIO_AXIS,))
+
+
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
     """Place a batched pytree with its leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))

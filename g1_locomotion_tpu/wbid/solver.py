@@ -43,8 +43,11 @@ def solve(
     q: jnp.ndarray,
     v: jnp.ndarray,
     refs: WBIDReferences,
+    body_X=None,
 ) -> WBIDSolution:
-    H, g, C, l, u, (M, h, Jc_T) = build_qp(model, idx, gains, q, v, refs, cfg.dt)
+    H, g, C, l, u, (M, h, Jc_T) = build_qp(
+        model, idx, gains, q, v, refs, cfg.dt, body_X=body_X
+    )
     sol = qplib.solve_qp(H, g, C, l, u, cfg=cfg.qp)
 
     nv = model.nv

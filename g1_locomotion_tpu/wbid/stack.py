@@ -200,13 +200,18 @@ def build_qp(
     v: jnp.ndarray,
     refs: WBIDReferences,
     dt: float,
+    body_X=None,
 ):
-    """Assemble (H, g, C, l, u) for the WBID QP, plus cached dynamics terms."""
+    """Assemble (H, g, C, l, u) for the WBID QP, plus cached dynamics terms.
+
+    body_X: optionally pass precomputed FK for q (the engine tick computes it
+    anyway — avoids re-deriving the full tree)."""
     dtype = q.dtype
     nv = model.nv
     nx = nv + NX_F
 
-    body_X = rb.fk(model, q)
+    if body_X is None:
+        body_X = rb.fk(model, q)
     M = dyn.crba(model, q)
     h = dyn.bias_force(model, q, v)
 
