@@ -30,7 +30,10 @@ def main() -> None:
     from g1_locomotion_tpu.mpc import solver as mpc
 
     dtype = jnp.float32
-    cfg = mpc.MPCConfig(horizon=10)
+    # Optional second arg: move-block size (1 = per-step forces, the official
+    # configuration; >1 is the knot-blocked variant, reported separately).
+    mb = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    cfg = mpc.MPCConfig(horizon=10, move_block=mb)
     weights = mpc.default_weights(dtype)
     params = srbd.default_params(dtype)
 
@@ -83,7 +86,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "srbd_mpc_solves_per_s_per_chip",
+                "metric": "srbd_mpc_solves_per_s_per_chip"
+                + ("" if mb == 1 else f"_mb{mb}"),
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 10000.0, 4),

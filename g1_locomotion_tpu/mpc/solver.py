@@ -29,6 +29,13 @@ class MPCConfig(NamedTuple):
 
     horizon: int = 10          # N (BASELINE.json: N~10)
     dt: float = 0.04           # MPC discretization (run_simulation.py:169)
+    move_block: int = 1        # force-knot blocking: u constant over blocks of
+                               # this many steps (1 = per-step, the reference
+                               # formulation). Halving the decision count cuts
+                               # every KKT matrix op ~8x; contact flags should
+                               # be block-constant or the conservative
+                               # any-inactive-in-block -> knot inactive rule
+                               # zeroes boundary knots.
     mu: float = 0.8            # friction coefficient (wbid.py:17)
     fz_min: float = 10.0       # min normal force in stance [N] (wbid.py:123)
     fz_max: float = 1000.0     # max normal force [N] (wbid.py:124)
@@ -138,21 +145,46 @@ def build_qp(
     A_qp, B_qp = srbd.condense(Ad, Bd)  # (N*NX, NX), (N*NX, N*NU)
 
     Qbar = jnp.tile(weights.Q, N)  # (N*NX,)
-    Rbar = jnp.tile(weights.R, N)
 
-    # H = B'QB + R ; g = B'Q (A x0 - X_ref)
+    # Move blocking: fold per-step forces into per-knot forces via the
+    # selector S (N*NU, K*NU); the QP solves for K knots, costs/constraints
+    # stay expressed per step.
+    mb = max(1, cfg.move_block)
+    K_knots = (N + mb - 1) // mb
+    if mb > 1:
+        step_to_knot = jnp.asarray(
+            [min(k // mb, K_knots - 1) for k in range(N)]
+        )
+        S_sel = (
+            (step_to_knot[:, None] == jnp.arange(K_knots)[None, :])
+            .astype(dtype)
+        )  # (N, K)
+        S = jnp.kron(S_sel, jnp.eye(NU, dtype=dtype))  # (N*NU, K*NU)
+        B_qp = B_qp @ S
+        Rbar = jnp.tile(weights.R, K_knots) * mb
+        # Conservative contact flags per knot: inactive if ANY step in the
+        # block is inactive for that contact.
+        pad = jnp.ones((K_knots * mb - N, NC), dtype)
+        ch = jnp.concatenate([contact_horizon, pad], axis=0)
+        contact_knots = jnp.min(ch.reshape(K_knots, mb, NC), axis=1)
+    else:
+        Rbar = jnp.tile(weights.R, N)
+        contact_knots = contact_horizon
+        K_knots = N
+
+    # H = B'QB + R ; g = B'Q (A x0 - X_ref)   (B_qp possibly knot-folded)
     BtQ = B_qp.T * Qbar[None, :]
     H = BtQ @ B_qp + jnp.diag(Rbar)
     resid = A_qp @ x0 - x_ref.reshape(N * NX)
     g = BtQ @ resid
 
-    # Friction cones, blockdiag over (N, NC): per-contact 5x3 block chosen by
-    # the contact flag (active -> pyramid, inactive -> f=0 equalities).
+    # Friction cones, blockdiag over (K_knots, NC): per-contact 5x3 block
+    # chosen by the contact flag (active -> pyramid, inactive -> f=0).
     C_act, C_inact = _constraint_blocks(cfg, dtype)
-    act = contact_horizon.reshape(N * NC)  # (NK,)
+    act = contact_knots.reshape(K_knots * NC)  # (NK,)
     blocks = jnp.where(act[:, None, None] > 0.5, C_act[None], C_inact[None])
     # Scatter blocks onto the block diagonal: (NK*5, NK*3).
-    NK = N * NC
+    NK = K_knots * NC
     eye = jnp.eye(NK, dtype=dtype)
     A_con = (eye[:, None, :, None] * blocks[:, :, None, :]).reshape(NK * 5, NK * 3)
 
@@ -186,12 +218,18 @@ def solve(
     state horizon (x_opt; row 1 is the WBID reference, ros_run_simulation.py:409).
     """
     N = cfg.horizon
+    mb = max(1, cfg.move_block)
+    K_knots = (N + mb - 1) // mb
     H, g, A_con, l, u, A_qp, B_qp, Ad, Bd = build_qp(
         cfg, weights, params, x0, x_ref, contact_horizon, c_horizon, p_com_horizon
     )
-    x0_warm = None if U_warm is None else U_warm.reshape(N * NU)
+    if U_warm is None:
+        x0_warm = None
+    else:
+        idxs = jnp.clip(jnp.arange(K_knots) * mb, 0, N - 1)
+        x0_warm = U_warm[idxs].reshape(K_knots * NU)
     sol = qplib.solve_qp(H, g, A_con, l, u, cfg=cfg.qp, x0=x0_warm)
-    U = sol.x.reshape(N, NU)
+    U = jnp.repeat(sol.x.reshape(K_knots, NU), mb, axis=0)[:N]
     x_hor = srbd.rollout(Ad, Bd, x0, U)
     return MPCSolution(
         u0=U[0], U=U, x_horizon=x_hor, pri_res=sol.pri_res, dua_res=sol.dua_res
