@@ -38,25 +38,35 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     import jax
 
-    # Correctness demos run at float64 (the benchmark path is bench.py, f32).
-    jax.config.update("jax_enable_x64", True)
+    # Correctness demos run at float64 on CPU (the benchmark path is
+    # bench.py, f32). On TPU, f64 is emulated and slow — keep native f32.
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+        dtype = None  # demo defaults (float64)
+    else:
+        import jax.numpy as jnp
+
+        dtype = jnp.float32
     from g1_locomotion_tpu.api import demos
 
+    kw = {} if dtype is None else {"dtype": dtype}
     if args.cmd == "walking":
         out = demos.demo_walking(
             seconds=args.seconds, v_cmd=(args.vx, 0.0), n_steps=args.steps,
-            log_path=args.log, plot_path=args.plot,
+            log_path=args.log, plot_path=args.plot, **kw,
         )
     elif args.cmd == "push-recovery":
         out = demos.demo_push_recovery(
-            push_velocity=(args.push_x, args.push_y), horizon=args.horizon
+            push_velocity=(args.push_x, args.push_y), horizon=args.horizon, **kw
         )
     elif args.cmd == "gait-sweep":
-        out = demos.demo_gait_sweep(batch=args.batch)
+        out = demos.demo_gait_sweep(batch=args.batch, **kw)
     elif args.cmd == "wbid-29dof":
-        out = demos.demo_wbid_29dof()
+        out = demos.demo_wbid_29dof(**kw)
     elif args.cmd == "pod-sweep":
-        out = demos.demo_pod_sweep(scenarios=args.scenarios, n_periods=args.periods)
+        out = demos.demo_pod_sweep(
+            scenarios=args.scenarios, n_periods=args.periods, **kw
+        )
     print(json.dumps(out, indent=1))
 
 
