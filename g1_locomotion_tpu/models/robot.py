@@ -203,10 +203,6 @@ def load_robot_from_urdf(urdf_string: str, dtype=jnp.float32) -> RobotModel:
 # ---------------------------------------------------------------------------
 
 
-class FK(Tuple):
-    pass
-
-
 def fk(model: RobotModel, q: jnp.ndarray) -> Transform:
     """World placement of every body: returns Transform with stacked leading body
     axis (R: (nb,3,3), p: (nb,3)). Single-sample; vmap for batches."""

@@ -14,8 +14,11 @@ Continuous dynamics, linearized about reference yaw psi:
     omega_dot = I_w^{-1} sum_i (r_i x f_i),  r_i = c_i - p,  I_w = Rz I_b Rz^T
     v_dot     = sum_i f_i / m + e_z * g      (x[12] = -9.80665)
 
-The inertia is the torso-only inertia, exactly as the reference uses
-(wbid.py:262-266: diag(8.20564e-2, 8.05015e-2, 0.32353e-2) kg m^2).
+The default inertia is the *whole-body composite* about the CoM
+(``G1_COMPOSITE_INERTIA``) — a deliberate improvement over the reference's
+torso-only value (wbid.py:262-266), which over-predicts rotation ~30x and
+destabilizes lateral walking. ``TORSO_INERTIA`` / ``reference_parity_params()``
+reproduce the reference's exact parameterization for parity runs.
 
 A_c is nilpotent (A_c^3 = 0), so the ZOH discretization
 ``A_d = exp(A_c dt) = I + A_c dt + A_c^2 dt^2/2`` is exact; B_d uses the

@@ -66,6 +66,15 @@ class MPC:
         one_rollout: bool = True,
     ):
         """One MPC solve; returns (u_opt0 (12,), x_opt ((N+1), 13))."""
+        if not one_rollout:
+            # The reference call sites always pass one_rollout=True
+            # (run_simulation.py:106); the multi-rollout semantics of the
+            # unreleased submodule are unknown, so refuse rather than
+            # silently ignore the flag.
+            raise NotImplementedError(
+                "one_rollout=False is not supported: only the reference's "
+                "single-rollout contract (run_simulation.py:106) is implemented"
+            )
         if self._solve is None:
             self.init_matrices()
         dtype = self._dtype

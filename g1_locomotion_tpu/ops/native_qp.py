@@ -24,14 +24,23 @@ _cached_lib: Optional[ctypes.CDLL] = None
 def build(force: bool = False) -> Path:
     """Compile the shared library if missing/stale. Returns its path."""
     if force or not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        subprocess.run(
-            [
-                "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-o", str(_LIB), str(_SRC),
-            ],
-            check=True,
-            capture_output=True,
-        )
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-o", str(_LIB), str(_SRC),
+        ]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                "native QP solver requires a C++ toolchain: `g++` was not "
+                "found on PATH. Install g++ or use the pure-JAX solver "
+                "(g1_locomotion_tpu.ops.qp) instead."
+            ) from e
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"native QP solver build failed (exit {proc.returncode}):\n"
+                f"  {' '.join(cmd)}\n{proc.stderr}"
+            )
     return _LIB
 
 

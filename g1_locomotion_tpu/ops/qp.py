@@ -318,9 +318,12 @@ def _polish(P, q, A, l, u, x, y, cfg: QPConfig, rounds: int = 3):
 
 
 def solve_batch(P, q, A, l, u, cfg: QPConfig = QPConfig(), x0=None, y0=None):
-    """vmapped batch solve over the leading axis of every argument."""
-    fn = lambda P, q, A, l, u: solve_qp(P, q, A, l, u, cfg)
-    return jax.vmap(fn)(P, q, A, l, u)
+    """vmapped batch solve over the leading axis of every argument.
+
+    x0/y0 (optional) warm starts are batched over the same leading axis."""
+    fn = lambda P, q, A, l, u, x0, y0: solve_qp(P, q, A, l, u, cfg, x0=x0, y0=y0)
+    in_axes = (0, 0, 0, 0, 0, None if x0 is None else 0, None if y0 is None else 0)
+    return jax.vmap(fn, in_axes=in_axes)(P, q, A, l, u, x0, y0)
 
 
 def kkt_residuals(P, q, A, l, u, x, y):

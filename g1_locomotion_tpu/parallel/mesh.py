@@ -69,18 +69,30 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_COLLECTIVES = {
+    "sum": lambda s, ax: jax.lax.psum(s, ax),
+    "max": lambda s, ax: jax.lax.pmax(s, ax),
+    "min": lambda s, ax: jax.lax.pmin(s, ax),
+}
+
+
 def sharded_vmap(
     mesh: Mesh,
     fn: Callable,
     *,
     reduce_fn: Optional[Callable] = None,
+    reduce_ops: Any = None,
 ):
     """vmap fn over the leading axis and shard it over the scenario mesh with
-    ``shard_map``; optionally reduce the outputs with a psum-based statistic.
+    ``shard_map``; optionally reduce the outputs with a cross-device statistic.
 
     fn: per-scenario function (single sample). reduce_fn (optional): maps the
-    local vmapped output -> statistics, which are then psum'd over the mesh
-    (the reference's /mpc_statistics aggregation, TPU-style).
+    local vmapped output -> statistics, which are then reduced over the mesh
+    (the reference's /mpc_statistics aggregation, TPU-style). reduce_ops
+    (optional): a pytree matching reduce_fn's output whose leaves name the
+    cross-device collective for that statistic — 'sum' (default), 'max', or
+    'min'. A max-statistic psum'd over n devices would report up to n x the
+    true maximum, so non-additive statistics must be tagged here.
     """
     from jax import shard_map
 
@@ -100,9 +112,16 @@ def sharded_vmap(
     def local(*args):
         out = vf(*args)
         stats = reduce_fn(out)
-        stats = jax.tree_util.tree_map(
-            lambda s: jax.lax.psum(s, SCENARIO_AXIS), stats
-        )
+        if reduce_ops is None:
+            stats = jax.tree_util.tree_map(
+                lambda s: jax.lax.psum(s, SCENARIO_AXIS), stats
+            )
+        else:
+            stats = jax.tree_util.tree_map(
+                lambda s, op: _COLLECTIVES[op](s, SCENARIO_AXIS),
+                stats,
+                reduce_ops,
+            )
         return out, stats
 
     def sharded(*args):

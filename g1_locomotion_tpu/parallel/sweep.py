@@ -54,28 +54,13 @@ def randomize(
     def tile(x):
         return jnp.broadcast_to(x, (B,) + jnp.shape(x))
 
-    return eng.ScenarioParams(
-        srbd=base.srbd._replace(mass=mass, inertia=inertia),
-        mpc_weights=jax.tree_util.tree_map(tile, base.mpc_weights),
-        wbid_gains=base.wbid_gains._replace(
-            mu=mu,
-            **{
-                f: tile(getattr(base.wbid_gains, f))
-                for f in base.wbid_gains._fields
-                if f != "mu"
-            },
-        ),
-        gait=base.gait._replace(
-            swing_duration=swing_d,
-            double_support_duration=tile(base.gait.double_support_duration),
-            start_time=tile(base.gait.start_time),
-            n_steps=tile(base.gait.n_steps),
-        ),
-        steps=base.steps._replace(
-            step_length=step_l,
-            step_width=tile(base.steps.step_width),
-            raibert_gain=tile(base.steps.raibert_gain),
-        ),
+    # Tile every leaf to the batch, then overwrite the randomized fields.
+    batched = jax.tree_util.tree_map(tile, base)
+    return batched._replace(
+        srbd=batched.srbd._replace(mass=mass, inertia=inertia),
+        wbid_gains=batched.wbid_gains._replace(mu=mu),
+        gait=batched.gait._replace(swing_duration=swing_d),
+        steps=batched.steps._replace(step_length=step_l),
         v_cmd=v_cmd,
     )
 
@@ -121,7 +106,10 @@ def run_sweep(
             fell_count=jnp.sum(fell),
         )
 
-    f = pmesh.sharded_vmap(mesh, per_scenario, reduce_fn=reduce_fn)
+    reduce_ops = SweepStats(n="sum", com_drift_sum="sum", tau_max="max",
+                            fell_count="sum")
+    f = pmesh.sharded_vmap(mesh, per_scenario, reduce_fn=reduce_fn,
+                           reduce_ops=reduce_ops)
     batch_params = pmesh.shard_batch(mesh, batch_params)
     (final, _), stats = f(batch_params)
     return final, stats

@@ -39,13 +39,37 @@ def save(path: str, state: Any, meta: Optional[Dict] = None) -> None:
 
 def restore(path: str, like: Any) -> Tuple[Any, Dict]:
     """Restore a checkpoint into the structure of `like` (a template pytree
-    with the target shapes/dtypes). Returns (state, meta)."""
+    with the target shapes/dtypes). Returns (state, meta).
+
+    Validates the saved manifest (leaf count + treedef) and per-leaf shapes
+    against the template, and casts each leaf to the template leaf's dtype so
+    a restore never silently mis-unflattens or retriggers jit recompilation.
+    """
     p = Path(path)
     manifest = json.loads(p.with_suffix(".json").read_text())
     with np.load(p.with_suffix(".npz")) as z:
         flat = [z[f"leaf_{i}"] for i in range(manifest["n_leaves"])]
-    _, treedef = jax.tree_util.tree_flatten(like)
-    state = jax.tree_util.tree_unflatten(treedef, flat)
+    like_flat, treedef = jax.tree_util.tree_flatten(like)
+    if len(like_flat) != manifest["n_leaves"]:
+        raise ValueError(
+            f"checkpoint {path!r} has {manifest['n_leaves']} leaves but the "
+            f"template has {len(like_flat)} — structure mismatch"
+        )
+    if manifest.get("treedef") not in (None, str(treedef)):
+        raise ValueError(
+            f"checkpoint {path!r} treedef does not match the template:\n"
+            f"  saved:    {manifest['treedef']}\n  template: {treedef}"
+        )
+    out = []
+    for i, (saved, tmpl) in enumerate(zip(flat, like_flat)):
+        tmpl = np.asarray(tmpl)
+        if saved.shape != tmpl.shape:
+            raise ValueError(
+                f"checkpoint {path!r} leaf {i}: saved shape {saved.shape} != "
+                f"template shape {tmpl.shape}"
+            )
+        out.append(saved.astype(tmpl.dtype, copy=False))
+    state = jax.tree_util.tree_unflatten(treedef, out)
     return state, manifest.get("meta", {})
 
 

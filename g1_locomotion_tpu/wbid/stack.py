@@ -264,18 +264,31 @@ def build_qp(
     )
 
     # --- Postural task on non-leg joints (wbid.py:128-134,167: stack rows
-    # 18..28 select waist+arms; generalized to any variant as "all joints
-    # after the 12 leg dofs") ---
-    n_post = model.nj - 12
-    sel = jnp.zeros((n_post, nv), dtype).at[:, 18:].set(jnp.eye(n_post, dtype=dtype))
+    # 18..28 select waist+arms; generalized to any variant by deriving the
+    # non-leg joints from the model's joint names, so e.g. g1_dual_arm —
+    # which has no legs — postures every joint) ---
+    post_idx = tuple(
+        j
+        for j, name in enumerate(model.joint_names)
+        if not any(k in name for k in ("hip", "knee", "ankle"))
+    )
     qj = q[7:]
     dqj = v[6:]
-    a_des_post = gains.posture_kp * (refs.posture_q - qj) - gains.posture_kd * dqj
-    add(
-        jnp.concatenate([sel, jnp.zeros((n_post, NX_F), dtype)], axis=1),
-        a_des_post[12:],
-        gains.w_posture,
-    )
+    if post_idx:
+        import numpy as _np
+
+        n_post = len(post_idx)
+        sel_np = _np.zeros((n_post, nv))
+        sel_np[_np.arange(n_post), 6 + _np.asarray(post_idx)] = 1.0
+        sel = jnp.asarray(sel_np, dtype)
+        a_des_post = (
+            gains.posture_kp * (refs.posture_q - qj) - gains.posture_kd * dqj
+        )
+        add(
+            jnp.concatenate([sel, jnp.zeros((n_post, NX_F), dtype)], axis=1),
+            a_des_post[jnp.asarray(post_idx)],
+            gains.w_posture,
+        )
 
     # --- qddot regularization (wbid.py:152,167) ---
     add(
@@ -434,6 +447,19 @@ def build_qp(
             jnp.where(on, Cc, Ci),
             jnp.where(on, l_c, jnp.zeros(5, dtype)),
             jnp.where(on, u_c, jnp.zeros(5, dtype)),
+        )
+        # Tangential wrench box |fx|,|fy| <= fxy_max (the reference's
+        # WrenchLimits x/y rows, wbid.py:123-124). In stance these are far
+        # outside the friction pyramid at normal loads, but they bound the
+        # QP whenever fz saturates; for swing feet they collapse to f = 0
+        # consistently with the equality rewrite above.
+        Cxy = jnp.zeros((2, nx), dtype)
+        Cxy = Cxy.at[0, base_col + 0].set(1.0)
+        Cxy = Cxy.at[1, base_col + 1].set(1.0)
+        addc(
+            Cxy,
+            -gains.fxy_max * foot_active * jnp.ones(2, dtype),
+            gains.fxy_max * foot_active * jnp.ones(2, dtype),
         )
 
     C = jnp.concatenate(C_rows, axis=0)
