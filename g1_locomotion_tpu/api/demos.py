@@ -180,25 +180,74 @@ def demo_wbid_29dof(dtype=jnp.float64):
     }
 
 
-def demo_pod_sweep(scenarios: int = 4096, n_periods: int = 5, dtype=jnp.float64):
+def demo_pod_sweep(
+    scenarios: int = 4096,
+    n_periods: int = 5,
+    dtype=jnp.float64,
+    checkpoint_path: Optional[str] = None,
+    chunks: int = 1,
+):
     """Config 5: domain-randomized scenario sweep sharded over the available
     device mesh with a psum'd statistics reduction (pod-scale pattern; on one
-    chip it exercises the identical sharded program)."""
+    chip it exercises the identical sharded program).
+
+    With checkpoint_path, the sweep runs in `chunks` segments of n_periods
+    each and saves (engine states, accumulated stats, chunk index) after
+    every segment; an interrupted sweep resumes from the last finished
+    segment (utils/checkpoint round-trip)."""
     from g1_locomotion_tpu.parallel import sweep
+    from g1_locomotion_tpu.utils import checkpoint as ckpt
 
     model = load_robot("g1_23dof", dtype=dtype)
     cfg = eng.EngineConfig()
     base = eng.default_scenario(dtype)
     spec = sweep.SweepSpec(n_scenarios=scenarios)
     params = sweep.randomize(spec, jax.random.PRNGKey(0), base)
+
+    states = None
+    stats_acc = None
+    start_chunk = 0
+    if checkpoint_path and ckpt.exists(checkpoint_path):
+        state0 = eng.init_state(model, cfg, dtype)
+        like_states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (scenarios,) + jnp.shape(x)), state0
+        )
+        like_stats = sweep.SweepStats(
+            n=jnp.zeros((), dtype), com_drift_sum=jnp.zeros((), dtype),
+            tau_max=jnp.zeros((), dtype), fell_count=jnp.zeros((), dtype),
+        )
+        (states, stats_acc), meta = ckpt.restore(
+            checkpoint_path, (like_states, like_stats)
+        )
+        start_chunk = int(meta.get("chunk", 0))
+
     t0 = time.time()
-    final, stats = sweep.run_sweep(model, cfg, params, n_periods=n_periods)
-    jax.block_until_ready(stats)
+    for chunk in range(start_chunk, max(chunks, 1)):
+        final, stats = sweep.run_sweep(
+            model, cfg, params, n_periods=n_periods, states0=states
+        )
+        jax.block_until_ready(stats)
+        states = final
+        if stats_acc is None:
+            stats_acc = stats
+        else:
+            stats_acc = sweep.SweepStats(
+                n=stats.n,
+                com_drift_sum=stats_acc.com_drift_sum + stats.com_drift_sum,
+                tau_max=jnp.maximum(stats_acc.tau_max, stats.tau_max),
+                fell_count=stats.fell_count,
+            )
+        if checkpoint_path:
+            ckpt.save(
+                checkpoint_path, (states, stats_acc), meta={"chunk": chunk + 1}
+            )
     wall = time.time() - t0
+    stats = stats_acc
     return {
         "config": "pod_sweep",
         "scenarios": scenarios,
         "devices": len(jax.devices()),
+        "chunks_run": max(chunks, 1) - start_chunk,
         "wall_seconds": wall,
         "mean_com_drift": float(stats.com_drift_sum / stats.n),
         "fell_fraction": float(stats.fell_count / stats.n),

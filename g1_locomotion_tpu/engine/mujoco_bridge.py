@@ -99,6 +99,12 @@ class MujocoLoop:
         self._wbid_jit = jax.jit(
             lambda s: eng._wbid_tick(model, self.idx, self.cfg, self.params, s)
         )
+        # pal_statistics analogue (/wbid_statistics, /mpc_statistics —
+        # ros_run_simulation.py:488,509-511): wall-clock solve timers around
+        # the jitted stages, p50/p99 exported via .stats.export().
+        from g1_locomotion_tpu.utils.stats import StatisticsRegistry
+
+        self.stats = StatisticsRegistry(topic="/mujoco_loop_statistics")
 
     def read_q(self) -> np.ndarray:
         return self.mj_data.qpos.copy()
@@ -120,8 +126,12 @@ class MujocoLoop:
                 q=jnp.asarray(self.read_q()), v=jnp.asarray(self.read_v())
             )
             if t % self.cfg.ticks_per_mpc == 0:
-                self.state = self._mpc_jit(self.state)
-            new_state, ticklog = self._wbid_jit(self.state)
+                self.state = self.stats.timer("mpc_solve").time(
+                    self._mpc_jit, self.state
+                )
+            new_state, ticklog = self.stats.timer("wbid_solve").time(
+                self._wbid_jit, self.state
+            )
             tau = np.asarray(ticklog.tau)
             # Carry controller state but keep the plant state from MuJoCo.
             self.state = new_state

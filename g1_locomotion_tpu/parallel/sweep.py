@@ -81,16 +81,19 @@ def run_sweep(
     batch_params: eng.ScenarioParams,
     n_periods: int,
     mesh=None,
+    states0: "eng.EngineState | None" = None,
 ):
     """Run a sharded batched rollout and reduce sweep statistics.
 
-    Returns (final_states, stats) with stats psum'd over the mesh.
+    Returns (final_states, stats) with stats reduced over the mesh.
+    states0 (optional): batched EngineState to resume from (leading axis =
+    scenario) — the checkpoint/resume path for long sweeps; the returned
+    final states are the next chunk's states0.
     """
     mesh = mesh or pmesh.scenario_mesh()
     rollout = eng.make_rollout(model, cfg)
 
-    def per_scenario(params: eng.ScenarioParams):
-        state = eng.init_state(model, cfg, batch_params.v_cmd.dtype)
+    def per_scenario(params: eng.ScenarioParams, state: eng.EngineState):
         final, logs = rollout(state, params, n_periods)
         com = logs.com.reshape(-1, 3)
         drift = jnp.linalg.norm(com[-1] - com[0])
@@ -110,6 +113,13 @@ def run_sweep(
                             fell_count="sum")
     f = pmesh.sharded_vmap(mesh, per_scenario, reduce_fn=reduce_fn,
                            reduce_ops=reduce_ops)
+    if states0 is None:
+        B = batch_params.v_cmd.shape[0]
+        state0 = eng.init_state(model, cfg, batch_params.v_cmd.dtype)
+        states0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), state0
+        )
     batch_params = pmesh.shard_batch(mesh, batch_params)
-    (final, _), stats = f(batch_params)
+    states0 = pmesh.shard_batch(mesh, states0)
+    (final, _), stats = f(batch_params, states0)
     return final, stats

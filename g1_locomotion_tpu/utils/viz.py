@@ -33,12 +33,14 @@ def load_log(path: str) -> dict:
 
 
 def plot_rollout(logs: dict, out_path: str, dt: float = 0.001,
-                 scenario: Optional[int] = None) -> None:
+                 scenario: Optional[int] = None,
+                 ticks_per_period: int = 40) -> None:
     """Render the PlotJuggler-layout views for one rollout into a PNG grid.
 
     logs: dict from load_log / TickLog fields. Arrays may have leading
     (scenario, period, tick) axes; `scenario` selects one (default 0 if
-    batched).
+    batched). ticks_per_period: control ticks per MPC period, used to shift
+    the plan-vs-realized overlay when the log has no period axis.
     """
     import matplotlib
 
@@ -95,6 +97,50 @@ def plot_rollout(logs: dict, out_path: str, dt: float = 0.001,
         ax.semilogy(t[: len(pr)], np.maximum(pr, 1e-12))
         ax.set_title("WBID QP primal residual")
         ax.grid(True)
+
+    # Plan-vs-realized (the reference's PlotJuggler juxtaposition of
+    # /mpc_solution predictions against /srbd_current measurements,
+    # MPC_QP_layout.xml:10-100): plan_x1 logged at tick t predicts the state
+    # one MPC period later, so shift the plan forward by one period.
+    if "plan_x1" in logs:
+        plan = np.asarray(logs["plan_x1"])
+        if plan.ndim >= 3:
+            period_ticks = plan.shape[-2]
+            plan = plan.reshape(-1, plan.shape[-1])
+        else:
+            period_ticks = ticks_per_period
+        fig2, axes2 = plt.subplots(2, 2, figsize=(13, 7))
+        titles = [("CoM", 3, com), ("CoM velocity", 9, None)]
+        for col, (name, off, realized) in enumerate(titles):
+            ax = axes2[0, col]
+            for i, lbl in enumerate("xyz"):
+                ax.plot(
+                    t[period_ticks:],
+                    plan[: len(t) - period_ticks, off + i],
+                    "--",
+                    label=f"plan {lbl}",
+                )
+                if realized is not None:
+                    ax.plot(t, realized[:, i], label=f"realized {lbl}", alpha=0.7)
+            ax.set_title(f"plan[k=1] vs realized: {name}")
+            ax.legend(fontsize=7), ax.grid(True)
+        ax = axes2[1, 0]
+        err = plan[: len(t) - period_ticks, 3:6] - com[period_ticks:]
+        for i, lbl in enumerate("xyz"):
+            ax.plot(t[period_ticks:], err[:, i], label=f"err {lbl}")
+        ax.set_title("one-period CoM prediction error [m]")
+        ax.legend(fontsize=7), ax.grid(True)
+        ax = axes2[1, 1]
+        if "landing" in logs:
+            landing = np.asarray(logs["landing"]).reshape(-1, 3)
+            ax.plot(t, landing[: len(t), 0], label="landing x")
+            ax.plot(t, landing[: len(t), 1], label="landing y")
+            ax.set_title("planned touchdown position")
+            ax.legend(fontsize=7), ax.grid(True)
+        fig2.tight_layout()
+        p2 = Path(out_path)
+        fig2.savefig(p2.with_name(p2.stem + "_plan" + p2.suffix), dpi=110)
+        plt.close(fig2)
 
     fig.tight_layout()
     Path(out_path).parent.mkdir(parents=True, exist_ok=True)
