@@ -33,7 +33,20 @@ def main() -> None:
     # Optional second arg: move-block size (1 = per-step forces, the official
     # configuration; >1 is the knot-blocked variant, reported separately).
     mb = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    cfg = mpc.MPCConfig(horizon=10, move_block=mb)
+    # The N=10 throughput configuration: 20 "high"-precision ADMM iterations
+    # land every instance in the correct active set and 2 exact polish rounds
+    # recover the converged solution — validated against an iters=200
+    # reference on this exact workload (tools/exp_qp_precision.py: 0.035 N
+    # worst-case force error vs 63 N for the round-1 60/1/highest config).
+    # Longer horizons need more iterations (MPCConfig's default is 60).
+    from g1_locomotion_tpu.ops.qp import QPConfig
+
+    cfg = mpc.MPCConfig(
+        horizon=10,
+        move_block=mb,
+        qp=QPConfig(iters=20, scaling_iters=0, rho=1.0, rho_segments=2,
+                    polish_rounds=2, iter_precision="high"),
+    )
     weights = mpc.default_weights(dtype)
     params = srbd.default_params(dtype)
 

@@ -43,11 +43,7 @@ def demo_walking(
     the validated walking configuration."""
     model = load_robot("g1_23dof", dtype=dtype)
     cfg = eng.walking_config()
-    params = eng.default_scenario(dtype)
-    params = params._replace(
-        gait=params.gait._replace(n_steps=jnp.asarray(float(n_steps), dtype)),
-        v_cmd=jnp.asarray(v_cmd, dtype),
-    )
+    params = eng.walking_scenario(dtype, n_steps=float(n_steps), v_cmd=v_cmd)
     rollout = eng.make_rollout(model, cfg)
     state = eng.init_state(model, cfg, dtype)
     n_periods = int(seconds / cfg.mpc.dt)

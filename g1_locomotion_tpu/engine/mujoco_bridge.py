@@ -90,7 +90,6 @@ class MujocoLoop:
             contact_hold_R=feet_R,
             swing_start=feet,
             anchors=plant_mod.anchors_from_state(model, self.idx, self.state.q),
-            p_origin=rb.com_position(model, X)[:2],
         )
 
         self._mpc_jit = jax.jit(

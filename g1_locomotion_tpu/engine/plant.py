@@ -87,7 +87,12 @@ def constrained_step(
     K = K.at[:nv, nv:].set(J_m.T)
     K = K.at[nv:, :nv].set(J_m)
     # Inactive rows become lambda_i = 0; active rows get a tiny relaxation.
-    diag = jnp.where(mask > 0.5, -cfg.kkt_reg, -1.0)
+    # The relaxation must clear the dtype's epsilon: the heel+toe pin pairs
+    # make the active block near-redundant, and an eps below f32 resolution
+    # lets the LU go singular mid-rollout (observed: NaN q at ~tick 15 of an
+    # f32 standing rollout; f64 is untouched at the configured 1e-9).
+    reg = cfg.kkt_reg if dtype == jnp.float64 else max(cfg.kkt_reg, 1e-5)
+    diag = jnp.where(mask > 0.5, -reg, -1.0)
     K = K.at[nv:, nv:].set(jnp.diag(diag))
     rhs = jnp.concatenate([S_tau - h, b_m])
 

@@ -29,6 +29,7 @@ from g1_locomotion_tpu.core import rotations as rot
 from g1_locomotion_tpu.engine import plant as plant_mod
 from g1_locomotion_tpu.engine.state import q_init_standing
 from g1_locomotion_tpu.gait import footsteps as fs
+from g1_locomotion_tpu.gait import planner
 from g1_locomotion_tpu.gait import schedule as gs
 from g1_locomotion_tpu.gait import swing as sw
 from g1_locomotion_tpu.models import robot as rb
@@ -49,16 +50,8 @@ class EngineConfig(NamedTuple):
     ticks_per_mpc: int = 40  # 0.04 / 0.001 (run_simulation.py:169 vs :172)
     max_swing_height: float = 0.05  # m (ros_run_simulation.py:294)
     com_height: float = 0.598  # standing CoM target (run_simulation.py:81)
-    sway_gain: float = 0.6  # fraction of support-centroid lateral sway in the
-                            # CoM reference (pre-swing weight shift)
-    gate_pos_tol: float = 0.05   # weight-transfer gate: |y_com - y_target| [m]
-    gate_vel_tol: float = 0.25   # and |vy_com| [m/s] before a swing may start
-    gate_window: float = 0.0     # last fraction of DS where the gate applies
-                                 # (0 = disabled; the gate delays swing onset
-                                 # until weight transfer completes, but cannot
-                                 # by itself fix mid-swing lateral drift —
-                                 # kept as infrastructure for step-timing
-                                 # adaptation work)
+    # Lateral sway + weight-transfer gate parameters live in GaitConfig
+    # (per-scenario pytree, vmappable/randomizable).
 
 
 class ScenarioParams(NamedTuple):
@@ -87,6 +80,7 @@ def walking_config() -> EngineConfig:
     return EngineConfig(
         mpc=mpc.MPCConfig(
             horizon=20,
+            footstep_opt=True,
             qp=QPConfig(iters=60, scaling_iters=0, rho=1.0, rho_segments=2,
                         matmul_inverse=False, polish_rounds=3),
         ),
@@ -94,7 +88,6 @@ def walking_config() -> EngineConfig:
             qp=QPConfig(iters=50, scaling_iters=3, rho=0.1, rho_segments=2,
                         matmul_inverse=False, polish_rounds=3)
         ),
-        sway_gain=0.6,
     )
 
 
@@ -109,6 +102,21 @@ def default_scenario(dtype=jnp.float32) -> ScenarioParams:
     )
 
 
+def walking_scenario(
+    dtype=jnp.float32,
+    n_steps: float = 8.0,
+    v_cmd=(0.1, 0.0),
+) -> ScenarioParams:
+    """Scenario defaults for dynamic walking (pairs with walking_config):
+    velocity-emphasized MPC weights (mpc.walking_weights)."""
+    p = default_scenario(dtype)
+    return p._replace(
+        mpc_weights=mpc.walking_weights(dtype),
+        gait=p.gait._replace(n_steps=jnp.asarray(n_steps, dtype)),
+        v_cmd=jnp.asarray(v_cmd, dtype),
+    )
+
+
 class EngineState(NamedTuple):
     """Carried state of the closed loop (pytree)."""
 
@@ -117,6 +125,7 @@ class EngineState(NamedTuple):
     t: jnp.ndarray            # scalar sim time
     U_warm: jnp.ndarray       # (N, 12) MPC warm start
     u0: jnp.ndarray           # (12,) latest MPC forces
+    x_opt0: jnp.ndarray       # (13,) SRBD state at the latest MPC solve
     x_opt1: jnp.ndarray       # (13,) latest MPC next-state reference
     contact_now: jnp.ndarray  # (4,) latest MPC contact flags
     landing: jnp.ndarray      # (3,) planned touchdown point
@@ -128,18 +137,26 @@ class EngineState(NamedTuple):
     gait_clock: jnp.ndarray   # scalar gait time — advances with sim time but
                               # pauses at the end of double support until the
                               # weight transfer completes (state-gated gait)
-    p_origin: jnp.ndarray     # (2,) CoM xy at walk start — anchors the
-                              # absolute reference ramp (the reference uses a
-                              # fixed CoM target, run_simulation.py:81)
 
 
 class TickLog(NamedTuple):
-    """Per-tick diagnostics (the PlotJuggler tab contents, SURVEY.md §2.1 row 13)."""
+    """Per-tick diagnostics (the PlotJuggler tab contents, SURVEY.md §2.1 row 13).
+
+    ``plan_x1`` is the MPC's one-period-ahead predicted state (x_opt[1]) held
+    over the period's ticks — juxtaposing it (shifted one MPC period) against
+    the realized state is the reference's de-facto correctness check
+    (MPC_QP_layout.xml:10-100 plots /mpc_solution vs /srbd_current)."""
 
     com: jnp.ndarray
     tau: jnp.ndarray
     forces: jnp.ndarray
     contact: jnp.ndarray
+    plan_x1: jnp.ndarray      # (13,) MPC predicted next state
+    plan_u0: jnp.ndarray      # (12,) MPC planned contact forces (u_opt0) —
+                              # juxtapose against realized `forces` (the
+                              # reference plots /mpc_solution forces the
+                              # same way)
+    landing: jnp.ndarray      # (3,) planned touchdown point
     mpc_pri_res: jnp.ndarray
     wbid_pri_res: jnp.ndarray
 
@@ -157,6 +174,7 @@ def init_state(model: RobotModel, cfg: EngineConfig, dtype=jnp.float32) -> Engin
         t=jnp.asarray(0.0, dtype),
         U_warm=jnp.zeros((N, 12), dtype),
         u0=jnp.zeros(12, dtype),
+        x_opt0=jnp.zeros(13, dtype),
         x_opt1=jnp.zeros(13, dtype),
         contact_now=jnp.ones(4, dtype),
         landing=feet[0],
@@ -166,7 +184,6 @@ def init_state(model: RobotModel, cfg: EngineConfig, dtype=jnp.float32) -> Engin
         prev_stance=jnp.ones(2, dtype),
         anchors=plant_mod.anchors_from_state(model, idx, q).astype(dtype),
         gait_clock=jnp.asarray(0.0, dtype),
-        p_origin=rb.com_position(model, X)[:2].astype(dtype),
     )
 
 
@@ -191,161 +208,47 @@ def _mpc_stage(
     params: ScenarioParams,
     state: EngineState,
 ):
-    """Periodic MPC solve — the reference's mpc_to_wbid_node turn (SURVEY §3.2)."""
-    dtype = state.q.dtype
-    N = cfg.mpc.horizon
+    """Periodic MPC solve — the reference's mpc_to_wbid_node turn (SURVEY §3.2).
+
+    All planning (footstep placement, horizon contacts, CoM reference) lives
+    in gait/planner.py — this stage only adds the whole-body measurement
+    (FK -> SRBD state + contact positions) and runs the QP."""
     body_X = rb.fk(model, state.q)
     x0 = srbd_state_from_wholebody(model, state.q, state.v, body_X)
-
-    # Gait over the horizon (gait time = the gated clock, not wall sim time).
-    contact_hor = gs.contact_horizon(params.gait, state.gait_clock, N, cfg.mpc.dt)
-    step_idx, in_swing, swing_is_left, _ = gs.phase_info(params.gait, state.gait_clock)
 
     # Current contact point positions (4: L-heel, L-toe, R-heel, R-toe).
     cpos = jnp.stack(
         [rb.frame_pose(model, body_X, f).p for f in idx.contacts]
     )  # (4,3)
 
-    # Footstep plan: forward (x) from the fixed straight-line plan — the
-    # walking-demo behavior (BASELINE config 1) — but lateral (y) from
-    # capture-point feedback: y_land = y_com + vy/omega0 +- margin. A purely
-    # fixed lateral plan leaves lateral errors uncorrected by stepping, and
-    # GRF authority alone is marginal for lateral balance (LIPM instability).
-    landing = fs.fixed_plan(
-        params.steps,
-        step_idx,
-        swing_is_left,
-        jnp.zeros(2, dtype),
+    plan = planner.plan_horizon(
+        params.gait, params.steps, params.v_cmd, x0, cpos,
+        state.gait_clock, cfg.mpc.horizon, cfg.mpc.dt, cfg.com_height,
     )
-    # Raibert-style lateral placement: nominal width beside the *predicted*
-    # CoM at touchdown, plus velocity feedback (gait/footsteps.py raibert).
-    # Keeps a sane stance width every step while correcting lateral drift —
-    # more robust here than pure capture-point placement, whose exponential
-    # prediction is distorted by the MPC's GRFs partially fighting the fall.
-    stance_mask = jnp.where(swing_is_left, jnp.array([0.0, 0.0, 1.0, 1.0], dtype),
-                            jnp.array([1.0, 1.0, 0.0, 0.0], dtype))
-    p_sy = jnp.sum(stance_mask * cpos[:, 1]) / jnp.sum(stance_mask)
-    half = params.gait.swing_duration + params.gait.double_support_duration
-    swing_end_t = (
-        params.gait.start_time
-        + step_idx * half
-        + params.gait.double_support_duration
-        + params.gait.swing_duration
-    )
-    T_rem = jnp.clip(swing_end_t - state.gait_clock, 0.0, None)
-    y_td = x0[4] + x0[10] * T_rem  # ballistic CoM prediction at touchdown
-    k_r = 8.0 * params.steps.raibert_gain
-    y_land = (
-        y_td
-        + jnp.where(swing_is_left, params.steps.step_width, -params.steps.step_width)
-        + k_r * (x0[10] - params.v_cmd[1])
-    )
-    # Keep feet separated (>= 8 cm from the stance foot, <= 0.45 m).
-    y_land = jnp.where(
-        swing_is_left,
-        jnp.clip(y_land, p_sy + 0.08, p_sy + 0.45),
-        jnp.clip(y_land, p_sy - 0.45, p_sy - 0.08),
-    )
-    landing = landing.at[1].set(y_land)
-
-    # Horizon contact positions: stance contacts at their current position; the
-    # swing-side contacts switch to the planned landing point for horizon steps
-    # after touchdown (the reference's MPC node plans with landing_position the
-    # same way, SURVEY.md §2.3).
-    heel_toe_xy = jnp.array([[-0.05, 0.0, 0.0], [0.12, 0.0, 0.0]], dtype)
-    # Heel/toe frame offsets from the foot center (g1_23dof.urdf:288,293);
-    # landing z inherits the current measured contact height.
-    contact_z = jnp.mean(cpos[:, 2])
-    landing_pts = landing[None, :] + heel_toe_xy
-    landing_pts = landing_pts.at[:, 2].set(contact_z)
-
-    # Absolute end time of the current/upcoming swing window.
-    half = params.gait.swing_duration + params.gait.double_support_duration
-    swing_end = (
-        params.gait.start_time
-        + step_idx * half
-        + params.gait.double_support_duration
-        + params.gait.swing_duration
-    )
-    ts = state.gait_clock + cfg.mpc.dt * jnp.arange(N, dtype=dtype)
-    after_touchdown = ts >= swing_end  # (N,)
-    in_step = (step_idx >= 0) & (step_idx < params.gait.n_steps)
-
-    swing_side = jnp.where(swing_is_left, 0, 1)  # 0 = left
-    c_hor = jnp.tile(cpos[None], (N, 1, 1))
-    for i in range(2):  # heel/toe of the swinging side
-        # Static column pair selected dynamically by swing side.
-        col_left = i          # L-heel / L-toe
-        col_right = 2 + i     # R-heel / R-toe
-        use_landing = after_touchdown & in_step
-        new_left = jnp.where(
-            (use_landing & (swing_side == 0))[:, None],
-            landing_pts[i][None, :],
-            c_hor[:, col_left],
-        )
-        new_right = jnp.where(
-            (use_landing & (swing_side == 1))[:, None],
-            landing_pts[i][None, :],
-            c_hor[:, col_right],
-        )
-        c_hor = c_hor.at[:, col_left].set(new_left).at[:, col_right].set(new_right)
-
-    # Reference horizon: CoM xy tracks the *support-polygon centroid preview* —
-    # the centroid of the contacts active at each horizon step (using planned
-    # landing points for post-touchdown steps). With the horizon previewing the
-    # next swing, this makes the MPC shift weight over the upcoming stance foot
-    # during double support — the lateral sway without which single support
-    # starts with outward CoM velocity and the robot falls sideways. (The
-    # reference's standing config instead holds a fixed absolute CoM target,
-    # run_simulation.py:80-82 — reproduced here when all contacts stay active.)
-    support_w = contact_hor / jnp.maximum(
-        jnp.sum(contact_hor, axis=1, keepdims=True), 1.0
-    )  # (N, 4)
-    centroid = jnp.einsum("nc,ncd->nd", support_w, c_hor)[:, 0:2]  # (N, 2)
-    # Smooth the x preview (raw centroid steps ~0.1 m between phases — the
-    # jumps would inject multi-m/s velocity-reference spikes).
-    pad = jnp.concatenate([centroid[:1], centroid, centroid[-1:]], axis=0)
-    centroid = (pad[:-2] + pad[1:-1] + pad[2:]) / 3.0
-    # Lateral reference: centerline plus a *moderated* sway toward the
-    # support centroid (pre-swing weight shift over the upcoming stance foot,
-    # previewed by the horizon). Full-amplitude sway excites the LIPM
-    # instability; the residual lateral error is caught by the Raibert foot
-    # placement above.
-    ks = jnp.arange(1, N + 1, dtype=dtype)
-    y_line = state.p_origin[1] + (state.t + cfg.mpc.dt * ks) * params.v_cmd[1]
-    y_ref = y_line + cfg.sway_gain * (centroid[:, 1] - y_line)
-    p_ref = jnp.stack(
-        [centroid[:, 0], y_ref, jnp.full((N,), cfg.com_height, dtype)], axis=1
-    )
-    # Lateral velocity reference is ZERO: a finite-difference of the sway
-    # preview commands ~0.5 m/s *into* the stance foot and the CoM arrives
-    # with that velocity instead of settling over it (observed failure mode).
-    # The vy weight then acts as pure damping toward each sway waypoint.
-    v_ref_xy = jnp.stack(
-        [jnp.diff(p_ref[:, 0], append=p_ref[-1, 0]) / cfg.mpc.dt,
-         jnp.full((N,), params.v_cmd[1], dtype)], axis=1
-    )
-    x_ref = jnp.zeros((N, 13), dtype)
-    x_ref = x_ref.at[:, 3:6].set(p_ref)
-    x_ref = x_ref.at[:, 9:11].set(v_ref_xy)
-    x_ref = x_ref.at[:, 12].set(jnp.asarray(srbd.GRAVITY, dtype))
 
     sol = mpc.solve(
         cfg.mpc,
         params.mpc_weights,
         params.srbd,
         x0,
-        x_ref,
-        contact_hor,
-        c_hor,
-        p_ref,
+        plan.x_ref,
+        plan.contact_hor,
+        plan.c_hor,
+        plan.p_ref,
         U_warm=state.U_warm,
+        landing_mask=plan.landing_mask,
     )
+    landing = plan.landing
+    if cfg.mpc.footstep_opt:
+        # Fold in the jointly-optimized landing offset (re-clipped for foot
+        # separation; the QP's reach box already bounds |d|).
+        landing = planner.apply_landing_offset(plan, sol.d)
     return state._replace(
         U_warm=sol.U,
         u0=sol.u0,
+        x_opt0=sol.x_horizon[0],
         x_opt1=sol.x_horizon[1],
-        contact_now=contact_hor[0],
+        contact_now=plan.contact_hor[0],
         landing=landing,
     ), sol
 
@@ -356,9 +259,22 @@ def _wbid_tick(
     cfg: EngineConfig,
     params: ScenarioParams,
     state: EngineState,
+    alpha: jnp.ndarray,
 ) -> Tuple[EngineState, TickLog]:
     """One 1 kHz control tick: gait FSM -> WBID refs -> QP -> integrate
-    (the reference's sim_step, ros_run_simulation.py:341-489)."""
+    (the reference's sim_step, ros_run_simulation.py:341-489).
+
+    ``alpha`` in (0, 1] is the tick's phase within the MPC period: CoM/base
+    references interpolate x_opt0 -> x_opt1 along the MPC's own predicted
+    trajectory. The reference implementation instead holds x_opt1 for the
+    whole period (wbid.py:243-294) — but a stiff task PD chasing a held
+    future target front-loads acceleration and arrives at the target
+    position with excess velocity in the direction of motion (measured
+    round 2: vy overshoot up to 0.2 m/s per period at mm-level position
+    accuracy). That per-period velocity excess pumps the lateral gait
+    oscillation until foot placement can no longer absorb it — the dominant
+    cause of the reference demo's few-step limit, removed here by
+    within-period interpolation."""
     dtype = state.q.dtype
     body_X = rb.fk(model, state.q)
 
@@ -416,8 +332,9 @@ def _wbid_tick(
     sw0 = swing_refs(0)
     sw1 = swing_refs(1)
 
-    # Base/CoM references from the latest MPC solution (wbid.py:243-294).
-    x1 = state.x_opt1
+    # Base/CoM references from the latest MPC solution (wbid.py:243-294),
+    # interpolated within the period (see docstring).
+    x1 = (1.0 - alpha) * state.x_opt0 + alpha * state.x_opt1
     base_R_ref = rot.rpy_to_matrix(x1[0:3])
     cpos = jnp.stack([rb.frame_pose(model, body_X, f).p for f in idx.contacts])
     r = cpos - x1[3:6][None, :]
@@ -471,16 +388,27 @@ def _wbid_tick(
     t_in_step = tau_g - step_f * half
     ds = params.gait.double_support_duration
     in_ds_tail = in_gait & (t_in_step < ds) & (
-        t_in_step > (1.0 - cfg.gate_window) * ds
+        t_in_step > (1.0 - params.gait.gate_window) * ds
     )
+    # Gate against the periodic orbit's swing-onset state (position AND
+    # velocity): the swing may only start when the lateral state is close to
+    # where the orbit says it must be — otherwise the clock pauses and the
+    # MPC gets more double-support time to converge onto the orbit.
+    omega0_g = jnp.sqrt(jnp.asarray(-srbd.GRAVITY, dtype) / cfg.com_height)
+    W_g = params.steps.step_width
+    t_gate = params.gait.start_time + jnp.maximum(step_f, 0.0) * half + 0.999 * ds
+    y_orb_g, vy_orb_g = gs.lateral_orbit_reference(
+        params.gait, t_gate[None], omega0_g, W_g
+    )
+    # Centerline implied by the upcoming stance foot (feet-relative
+    # anchoring, matching gait/planner.py).
     next_swing_left = jnp.mod(jnp.maximum(step_f, 0.0), 2.0) < 0.5
-    y_stance_next = jnp.where(next_swing_left, feet_now[1, 1], feet_now[0, 1])
-    # Gate against the *swayed* reference target (the MPC is commanded
-    # sway_gain of the way to the stance foot — demanding the full shift
-    # here would deadlock the clock).
-    y_target = cfg.sway_gain * y_stance_next
-    gate_ok = (jnp.abs(com_now[1] - y_target) < cfg.gate_pos_tol) & (
-        jnp.abs(vy_now) < cfg.gate_vel_tol
+    y_stance_g = jnp.where(next_swing_left, feet_now[1, 1], feet_now[0, 1])
+    y_line_g = y_stance_g + jnp.where(next_swing_left, W_g, -W_g)
+    y_target = y_line_g + params.gait.sway_gain * y_orb_g[0]
+    vy_target = params.v_cmd[1] + params.gait.sway_gain * vy_orb_g[0]
+    gate_ok = (jnp.abs(com_now[1] - y_target) < params.gait.gate_pos_tol) & (
+        jnp.abs(vy_now - vy_target) < params.gait.gate_vel_tol
     )
     clock_rate = jnp.where(in_ds_tail & ~gate_ok, 0.0, 1.0)
 
@@ -489,6 +417,9 @@ def _wbid_tick(
         tau=sol.tau,
         forces=sol.forces,
         contact=state.contact_now,
+        plan_x1=state.x_opt1,
+        plan_u0=state.u0,
+        landing=state.landing,
         mpc_pri_res=jnp.zeros((), dtype),
         wbid_pri_res=sol.pri_res,
     )
@@ -514,11 +445,13 @@ def make_rollout(model: RobotModel, cfg: EngineConfig):
     def period(state: EngineState, params: ScenarioParams):
         state, mpc_sol = _mpc_stage(model, idx, cfg, params, state)
 
-        def tick(s, _):
-            return _wbid_tick(model, idx, cfg, params, s)
+        def tick(s, i):
+            alpha = (i + 1.0) / cfg.ticks_per_mpc
+            return _wbid_tick(model, idx, cfg, params, s, alpha)
 
         state, logs = jax.lax.scan(
-            tick, state, None, length=cfg.ticks_per_mpc
+            tick, state,
+            jnp.arange(cfg.ticks_per_mpc, dtype=state.q.dtype),
         )
         logs = logs._replace(
             mpc_pri_res=jnp.broadcast_to(mpc_sol.pri_res, logs.mpc_pri_res.shape)

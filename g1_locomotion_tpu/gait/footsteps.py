@@ -22,7 +22,11 @@ import jax.numpy as jnp
 class FootstepConfig(NamedTuple):
     step_length: jnp.ndarray   # m forward per step
     step_width: jnp.ndarray    # lateral half-distance between feet (y offset)
-    raibert_gain: jnp.ndarray  # feedback gain on velocity error
+    raibert_gain: jnp.ndarray  # feedback gain on velocity error (raibert())
+    dcm_scale: jnp.ndarray     # lateral-placement feedback gain on the
+                               # predicted-vs-nominal touchdown DCM error
+                               # (gait/schedule.predict_touchdown_dcm;
+                               # 1 = deadbeat, 0 = fixed plan)
 
 
 def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
@@ -30,6 +34,7 @@ def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
         step_length=jnp.asarray(0.10, dtype),
         step_width=jnp.asarray(0.12, dtype),
         raibert_gain=jnp.asarray(0.03, dtype),
+        dcm_scale=jnp.asarray(1.0, dtype),
     )
 
 

@@ -1,0 +1,254 @@
+"""Horizon planner: gait state + SRBD measurement -> MPC problem inputs.
+
+This is the planning half of the reference's ``mpc_to_wbid_node`` (SURVEY.md
+§2.3): footstep placement, horizon contact schedule/positions, and the CoM
+reference trajectory. It is deliberately robot-independent — it consumes only
+the 13-dim SRBD state and the 4 contact-point positions — so the same logic
+drives both the full whole-body engine (engine/tick.py) and the fast
+SRBD-level closed-loop simulator (mpc/srbd_loop.py) used for gait iteration
+and MPC-level validation.
+
+Design (round 2): both axes use nominal geometry on the commanded ramp plus
+DCM feedback relative to the periodic LIPM orbit (gait/schedule.py):
+
+* Lateral: nominal width beside the centerline; the measured DCM is
+  propagated to touchdown through the step's nominal ZMP profile and the
+  foot steps ``dcm_scale x (predicted - nominal)`` further out. On the orbit
+  the correction vanishes; off it, stepping absorbs the error — the
+  mechanism a fixed plan lacks and the naive capture-point law (which
+  ignores double support and collapses stance width) gets wrong.
+* Sagittal: the shift-periodic orbit's nominal touchdown offset
+  (c0 = v T/2 ahead of the ramp) plus the same DCM feedback.
+* CoM reference: feet-relative (receding) anchoring — see the comment block
+  in :func:`plan_horizon`. Outside the gait the anchor degenerates to the
+  (static) support centroid, reproducing the reference's fixed absolute
+  standing target (run_simulation.py:80-82).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from g1_locomotion_tpu.gait import footsteps as fs
+from g1_locomotion_tpu.gait import schedule as gs
+from g1_locomotion_tpu.models import srbd
+
+# Heel/toe frame offsets from the foot center (g1_23dof.urdf:288,293).
+HEEL_TOE_XY = ((-0.05, 0.0, 0.0), (0.12, 0.0, 0.0))
+# The heel/toe pair is asymmetric about the ankle: their mean sits 3.5 cm
+# ahead of the foot-frame center. Sagittal anchors must subtract this —
+# anchoring on the raw contact mean parks the reference 3.5 cm ahead of the
+# ankle, 3.8 cm ahead of the natural standing CoM, and the resulting
+# permanent "DCM error" walks the robot backward (round-2 SRBD-loop
+# diagnosis: vx bias ~ -0.03 m/s even stepping in place).
+_HT_X_OFF = sum(p[0] for p in HEEL_TOE_XY) / len(HEEL_TOE_XY)
+
+
+class MPCPlan(NamedTuple):
+    """Everything the MPC solve needs, plus bookkeeping for the engine."""
+
+    x_ref: jnp.ndarray        # (N, 13) state reference horizon
+    contact_hor: jnp.ndarray  # (N, 4) 0/1 contact schedule
+    c_hor: jnp.ndarray        # (N, 4, 3) horizon contact positions
+    p_ref: jnp.ndarray        # (N, 3) CoM position reference
+    landing: jnp.ndarray      # (3,) planned touchdown point (foot center)
+    landing_mask: jnp.ndarray # (N, 4) 1 where a contact sits at the landing
+    stance_y: jnp.ndarray     # scalar: stance-foot y (for separation clips)
+    swing_is_left: jnp.ndarray
+
+
+def clip_landing_y(y_land, stance_y, swing_is_left):
+    """Foot-separation clip: keep the landing >= 8 cm and <= 45 cm from the
+    stance foot, on the swing side."""
+    return jnp.where(
+        swing_is_left,
+        jnp.clip(y_land, stance_y + 0.08, stance_y + 0.45),
+        jnp.clip(y_land, stance_y - 0.45, stance_y - 0.08),
+    )
+
+
+def plan_horizon(
+    gait: gs.GaitConfig,
+    steps: fs.FootstepConfig,
+    v_cmd: jnp.ndarray,       # (2,) commanded planar velocity
+    x0: jnp.ndarray,          # (13,) measured SRBD state
+    cpos: jnp.ndarray,        # (4, 3) contact positions (LH, LT, RH, RT)
+    gait_clock: jnp.ndarray,  # scalar gated gait time
+    N: int,
+    dt_mpc: float,
+    com_height: float,
+) -> MPCPlan:
+    dtype = x0.dtype
+
+    contact_hor = gs.contact_horizon(gait, gait_clock, N, dt_mpc)
+    step_idx, _, swing_is_left, _ = gs.phase_info(gait, gait_clock)
+
+    stance_mask = jnp.where(
+        swing_is_left,
+        jnp.array([0.0, 0.0, 1.0, 1.0], dtype),
+        jnp.array([1.0, 1.0, 0.0, 0.0], dtype),
+    )
+    p_sy = jnp.sum(stance_mask * cpos[:, 1]) / jnp.sum(stance_mask)
+    # Stance ANKLE x (contact mean minus the heel/toe asymmetry offset).
+    p_sx = jnp.sum(stance_mask * cpos[:, 0]) / jnp.sum(stance_mask) - _HT_X_OFF
+    half = gait.swing_duration + gait.double_support_duration
+    omega0 = jnp.sqrt(jnp.asarray(-srbd.GRAVITY, dtype) / com_height)
+    W = steps.step_width
+    T_gait = gait.n_steps * half
+    t_in_step = jnp.clip(
+        gait_clock - gait.start_time - step_idx * half, 0.0, None
+    )
+    in_step = (step_idx >= 0) & (step_idx < gait.n_steps)
+
+    # ---- Feet-relative (receding) anchoring -------------------------------
+    # All CoM references and DCM measurements are anchored to the *realized
+    # stance foot*, never to an absolute world line. An absolute anchor makes
+    # the MPC fight the DCM-corrected footholds (the reference ramp marches
+    # on while the feet capture a disturbance — position error accumulates
+    # as lateral/sagittal force until the gait diverges; round-2 SRBD-loop
+    # diagnosis). With relative anchoring, position error cannot accumulate:
+    # foot placement is the lateral stabilizer, GRFs only track the orbit
+    # shape within a step — the standard DCM-gait division of labor.
+    #
+    # Lateral: the walking centerline implied by the stance foot.
+    line_y_gait = p_sy + jnp.where(swing_is_left, W, -W)
+    # Sagittal: the stance foot of step j touched down at the start of this
+    # step, c0 = vT/2 ahead of the commanded ramp — so the ramp "now" sits at
+    # stance_x - c0 + v * t_in_step, and the next nominal landing advances
+    # exactly one step length: stance_x + v*T.
+    c0 = 0.5 * v_cmd[0] * half
+    ramp_x_gait = p_sx - c0 + v_cmd[0] * t_in_step
+    # Outside the gait (pre-start, post-walk, n_steps = 0): hold the support
+    # centroid — static feet make this an absolute hold (standing/settle).
+    centroid = jnp.mean(cpos, axis=0)
+    line_y = jnp.where(in_step, line_y_gait, centroid[1])
+    ramp_x = jnp.where(in_step, ramp_x_gait, centroid[0] - _HT_X_OFF)
+
+    # Lateral placement: DCM feedback vs the mirror-periodic orbit.
+    xi_rel = (x0[4] + (x0[10] - v_cmd[1]) / omega0) - line_y
+    xi_pred = gs.predict_touchdown_dcm(
+        gait, omega0, W, xi_rel, t_in_step, swing_is_left
+    )
+    xi_nom = gs.touchdown_dcm_nominal(gait, omega0, W, swing_is_left)
+    y_land = (
+        line_y
+        + jnp.where(swing_is_left, W, -W)
+        + steps.dcm_scale * (xi_pred - xi_nom)
+    )
+    y_land = clip_landing_y(y_land, p_sy, swing_is_left)
+
+    # Sagittal placement: one nominal step length ahead of the stance foot
+    # plus the same DCM feedback.
+    xi_rel_x = (x0[3] + (x0[9] - v_cmd[0]) / omega0) - ramp_x
+    xi_pred_x = gs.predict_touchdown_dcm_x(
+        gait, omega0, v_cmd[0], xi_rel_x, t_in_step
+    )
+    xi_nom_x = gs.touchdown_dcm_nominal_x(gait, omega0, v_cmd[0])
+    x_land = (
+        ramp_x + v_cmd[0] * (half - t_in_step) + c0
+        + steps.dcm_scale * (xi_pred_x - xi_nom_x)
+    )
+    landing = jnp.stack([x_land, y_land, jnp.zeros_like(x_land)])
+
+    # Horizon contact positions: stance contacts hold their measured
+    # position; swing-side contacts switch to the planned landing point for
+    # horizon steps after touchdown (the reference's MPC node plans with
+    # landing_position the same way, SURVEY.md §2.3).
+    heel_toe_xy = jnp.asarray(HEEL_TOE_XY, dtype)
+    contact_z = jnp.mean(cpos[:, 2])
+    landing_pts = landing[None, :] + heel_toe_xy
+    landing_pts = landing_pts.at[:, 2].set(contact_z)
+
+    swing_end = (
+        gait.start_time
+        + step_idx * half
+        + gait.double_support_duration
+        + gait.swing_duration
+    )
+    ts = gait_clock + dt_mpc * jnp.arange(N, dtype=dtype)
+    after_touchdown = ts >= swing_end  # (N,)
+    in_step = (step_idx >= 0) & (step_idx < gait.n_steps)
+
+    swing_side = jnp.where(swing_is_left, 0, 1)  # 0 = left
+    use_landing = after_touchdown & in_step  # (N,)
+    mask_L = use_landing & (swing_side == 0)
+    mask_R = use_landing & (swing_side == 1)
+    c_hor = jnp.tile(cpos[None], (N, 1, 1))
+    for i in range(2):  # heel/toe of the swinging side
+        col_left = i          # L-heel / L-toe
+        col_right = 2 + i     # R-heel / R-toe
+        new_left = jnp.where(
+            mask_L[:, None], landing_pts[i][None, :], c_hor[:, col_left]
+        )
+        new_right = jnp.where(
+            mask_R[:, None], landing_pts[i][None, :], c_hor[:, col_right]
+        )
+        c_hor = c_hor.at[:, col_left].set(new_left).at[:, col_right].set(new_right)
+    landing_mask = jnp.stack([mask_L, mask_L, mask_R, mask_R], axis=1).astype(dtype)
+
+    # Reference horizon: feet-anchored ramp + periodic-orbit oscillation.
+    # The ramp advances only while the gait runs (frozen before start and
+    # after the last touchdown — the orbit terms blend out there too).
+    ks = jnp.arange(1, N + 1, dtype=dtype)
+    ts_ref = gait_clock + dt_mpc * ks
+    y_orb, vy_orb = gs.lateral_orbit_reference(gait, ts_ref, omega0, W)
+    ts_all = jnp.concatenate([gait_clock[None], ts_ref])
+    x_orb_all, vx_orb_all = gs.sagittal_orbit_reference(
+        gait, ts_all, omega0, v_cmd[0]
+    )
+    x_orb_now, x_orb = x_orb_all[0], x_orb_all[1:]
+    vx_orb = vx_orb_all[1:]
+    t_end = gait.start_time + T_gait
+    adv = jnp.clip(
+        jnp.minimum(ts_ref, t_end) - jnp.maximum(gait_clock, gait.start_time),
+        0.0, None,
+    )  # in-gait time advanced from "now" to each horizon knot
+    gait_elapsed = jnp.clip(ts_ref - gait.start_time, 0.0, T_gait)
+    in_gait_k = (gait_elapsed > 0.0) & (gait_elapsed < T_gait)
+    # Sagittal position reference: RECEDING from the measured CoM during the
+    # gait (velocity shaping only — anchoring it on the feet couples a
+    # positive feedback: a capture step lands ahead, the anchor jumps ahead,
+    # the reference drags the CoM faster, the next step lands further ahead;
+    # observed as a velocity runaway in the SRBD loop even at v_cmd = 0).
+    # Foot placement stays foot-relative and is the sagittal stabilizer.
+    # Outside the gait the anchor is the (static) stance ankle mean — an
+    # absolute standing/settle hold.
+    x_anchor = jnp.where(in_step, x0[3] - x_orb_now, ramp_x)
+    x_ref_line = x_anchor + v_cmd[0] * adv + x_orb
+    vx_ref = jnp.where(in_gait_k, v_cmd[0], 0.0) + vx_orb
+    y_ref = line_y + v_cmd[1] * adv + gait.sway_gain * y_orb
+    p_ref = jnp.stack(
+        [x_ref_line, y_ref, jnp.full((N,), com_height, dtype)], axis=1
+    )
+    v_ref_xy = jnp.stack(
+        [vx_ref,
+         jnp.where(in_gait_k, v_cmd[1], 0.0) + gait.sway_gain * vy_orb],
+        axis=1,
+    )
+    x_ref = jnp.zeros((N, 13), dtype)
+    x_ref = x_ref.at[:, 3:6].set(p_ref)
+    x_ref = x_ref.at[:, 9:11].set(v_ref_xy)
+    x_ref = x_ref.at[:, 12].set(jnp.asarray(srbd.GRAVITY, dtype))
+
+    return MPCPlan(
+        x_ref=x_ref,
+        contact_hor=contact_hor,
+        c_hor=c_hor,
+        p_ref=p_ref,
+        landing=landing,
+        landing_mask=landing_mask,
+        stance_y=p_sy,
+        swing_is_left=swing_is_left,
+    )
+
+
+def apply_landing_offset(plan: MPCPlan, d: jnp.ndarray) -> jnp.ndarray:
+    """Fold the MPC's jointly-optimized landing offset d into the planned
+    landing point (re-clipped for foot separation)."""
+    landing = plan.landing.at[0].add(d[0])
+    y_adj = clip_landing_y(
+        plan.landing[1] + d[1], plan.stance_y, plan.swing_is_left
+    )
+    return landing.at[1].set(y_adj)

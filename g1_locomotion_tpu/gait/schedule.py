@@ -23,12 +23,22 @@ import jax.numpy as jnp
 
 
 class GaitConfig(NamedTuple):
-    """Gait timing (a pytree of scalars — randomizable per scenario)."""
+    """Gait timing + weight-transfer parameters (a pytree of scalars —
+    randomizable per scenario)."""
 
     swing_duration: jnp.ndarray  # s (reference: 0.25, ros_run_simulation.py:148)
     double_support_duration: jnp.ndarray  # s between swings
     start_time: jnp.ndarray  # gait starts after an initial stand phase
     n_steps: jnp.ndarray  # total number of steps before standing again
+    sway_gain: jnp.ndarray  # scale on the periodic lateral orbit amplitude in
+                            # the CoM reference (1.0 = dynamically consistent)
+    gate_window: jnp.ndarray  # last fraction of DS where the weight-transfer
+                              # gate applies (0 = disabled); the gate pauses
+                              # the gait clock until the CoM is over (and
+                              # settling above) the upcoming stance foot —
+                              # state-gated step timing
+    gate_pos_tol: jnp.ndarray  # gate: |y_com - y_target| tolerance [m]
+    gate_vel_tol: jnp.ndarray  # gate: |vy_com| tolerance [m/s]
 
 
 def default_gait(dtype=jnp.float32) -> GaitConfig:
@@ -37,6 +47,10 @@ def default_gait(dtype=jnp.float32) -> GaitConfig:
         double_support_duration=jnp.asarray(0.25, dtype),
         start_time=jnp.asarray(0.5, dtype),
         n_steps=jnp.asarray(8, dtype),
+        sway_gain=jnp.asarray(1.0, dtype),
+        gate_window=jnp.asarray(0.0, dtype),
+        gate_pos_tol=jnp.asarray(0.05, dtype),
+        gate_vel_tol=jnp.asarray(0.25, dtype),
     )
 
 
@@ -73,6 +87,281 @@ def contact_flags(cfg: GaitConfig, t: jnp.ndarray) -> jnp.ndarray:
     left = jnp.where(left_up, 0.0, 1.0)
     right = jnp.where(right_up, 0.0, 1.0)
     return jnp.stack([left, left, right, right]).astype(jnp.result_type(t, jnp.float32))
+
+
+def _lipm_map(omega0, T, p0, pdot):
+    """Affine map (F, g) of the lateral LIPM state X = [y, vy] over duration
+    T while the ZMP ramps linearly from p0 with slope pdot:
+
+        X(T) = F X(0) + g,   with  ÿ = ω₀²(y − p(t)),  p(t) = p0 + ṗ t.
+
+    Closed form: the particular solution of a linearly-ramping ZMP is
+    y_p(t) = p(t), so the homogeneous cosh/sinh modes carry the rest.
+    """
+    c = jnp.cosh(omega0 * T)
+    s = jnp.sinh(omega0 * T)
+    F = jnp.stack(
+        [jnp.stack([c, s / omega0]), jnp.stack([omega0 * s, c])]
+    )
+    p1 = p0 + pdot * T
+    g = jnp.stack(
+        [p1 - c * p0 - (s / omega0) * pdot,
+         pdot - omega0 * s * p0 - c * pdot]
+    )
+    return F, g
+
+
+def lateral_orbit_state(cfg: GaitConfig, omega0, W):
+    """Initial state X0 = [y, vy] (at DS start of an even/right-stance step)
+    of the *periodic* lateral LIPM orbit for this gait timing.
+
+    The ZMP profile per step is [DS: ramp previous-stance → stance][SS: hold
+    at stance foot ±W]; mirror symmetry over one step (X_end = −X0) pins the
+    periodic orbit: X0 = −(I + F)⁻¹ g with (F, g) the step's affine map.
+    This is the lateral trajectory walking *physically* follows — e.g. at
+    the reference timing (0.25/0.25 s, W = 0.12) the CoM sways only ±4 cm
+    and crosses the midline during single support; commanding a full shift
+    over the stance foot (a naive weight-transfer reference) fights the
+    dynamics and destabilizes the gait.
+    """
+    ds = cfg.double_support_duration
+    ss = cfg.swing_duration
+    F1, g1 = _lipm_map(omega0, ds, W, -2.0 * W / jnp.maximum(ds, 1e-6))
+    F2, g2 = _lipm_map(omega0, ss, -W, jnp.zeros_like(W))
+    F = F2 @ F1
+    g = F2 @ g1 + g2
+    X0 = -jnp.linalg.solve(jnp.eye(2, dtype=g.dtype) + F, g)
+    return X0
+
+
+def _orbit_eval(cfg: GaitConfig, omega0, W, X0, t_in):
+    """Evaluate the even-step orbit at phase time t_in ∈ [0, ds+ss)."""
+    ds = cfg.double_support_duration
+    t1 = jnp.clip(t_in, 0.0, ds)
+    F1, g1 = _lipm_map(omega0, t1, W, -2.0 * W / jnp.maximum(ds, 1e-6))
+    X_ds = F1 @ X0 + g1
+    t2 = jnp.clip(t_in - ds, 0.0, None)
+    Fds, gds = _lipm_map(omega0, ds, W, -2.0 * W / jnp.maximum(ds, 1e-6))
+    F2, g2 = _lipm_map(omega0, t2, -W, jnp.zeros_like(W))
+    X_ss = F2 @ (Fds @ X0 + gds) + g2
+    return jnp.where(t_in < ds, X_ds, X_ss)
+
+
+def lateral_orbit_reference(
+    cfg: GaitConfig,
+    t: jnp.ndarray,   # absolute gait times (any shape, vmapped over)
+    omega0,
+    W,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(y, vy) of the periodic lateral orbit at times t, centerline-relative.
+
+    Odd steps mirror the even-step orbit. The first DS blends in from
+    standing (0, 0) and the gait end blends back out over one DS window, so
+    the reference is continuous through gait start/stop; n_steps = 0 holds
+    the centerline.
+    """
+    import jax
+
+    half = cfg.swing_duration + cfg.double_support_duration
+    ds = cfg.double_support_duration
+    X0 = lateral_orbit_state(cfg, omega0, W)
+
+    def one(tk):
+        tau = tk - cfg.start_time
+        j = jnp.floor(tau / half)
+        t_in = tau - j * half
+        X = _orbit_eval(cfg, omega0, W, X0, t_in)
+        even = jnp.mod(jnp.clip(j, 0.0, None), 2.0) < 0.5
+        X = jnp.where(even, X, -X)
+        # Entry blend over the first DS.
+        s_in = jnp.clip(tau / jnp.maximum(ds, 1e-6), 0.0, 1.0)
+        beta = 0.5 * (1.0 - jnp.cos(jnp.pi * s_in))
+        X = X * beta
+        # Exit blend over one DS after the last touchdown.
+        t_end = cfg.n_steps * half
+        s_out = jnp.clip((tau - t_end) / jnp.maximum(ds, 1e-6), 0.0, 1.0)
+        X_end_hold = _orbit_eval(cfg, omega0, W, X0, jnp.zeros_like(t_in))
+        last_even = jnp.mod(jnp.maximum(cfg.n_steps, 0.0), 2.0) < 0.5
+        # State at gait end = DS-start state of the (virtual) next step.
+        X_end_hold = jnp.where(last_even, X_end_hold, -X_end_hold)
+        X_out = X_end_hold * (1.0 - 0.5 * (1.0 - jnp.cos(jnp.pi * s_out)))
+        X = jnp.where(tau >= t_end, X_out, X)
+        X = jnp.where((tau < 0.0) | (cfg.n_steps < 0.5), jnp.zeros_like(X), X)
+        return X[0], X[1]
+
+    return jax.vmap(one)(jnp.atleast_1d(t))
+
+
+def touchdown_dcm_nominal(cfg: GaitConfig, omega0, W, swing_is_left):
+    """Nominal centerline-relative DCM ξ = y + vy/ω₀ at touchdown of the
+    current step (left landing → even-step orbit end = −X0 by mirror)."""
+    X0 = lateral_orbit_state(cfg, omega0, W)
+    xi0 = X0[0] + X0[1] / omega0
+    return jnp.where(swing_is_left, -xi0, xi0)
+
+
+def predict_touchdown_dcm(
+    cfg: GaitConfig,
+    omega0,
+    W,
+    xi,          # measured centerline-relative DCM y + vy/ω₀
+    t_in,        # time into the current step
+    swing_is_left,
+):
+    """Propagate the measured DCM to the upcoming touchdown through the
+    step's nominal ZMP profile (remaining DS ramp, then SS hold).
+
+    The DCM obeys ξ' = ω₀(ξ − p) independently of the CoM, so each phase is
+    a scalar affine map: constant p over T gives ξ → p + (ξ−p)e^{ω₀T}; a
+    ramp adds the ṗ/ω₀ particular offset.
+    """
+    ds = cfg.double_support_duration
+    ss = cfg.swing_duration
+    # Mirror to the even-step frame (stance = right foot at −W).
+    xi_e = jnp.where(swing_is_left, xi, -xi)
+    t_ds_rem = jnp.clip(ds - t_in, 0.0, None)
+    pdot = -2.0 * W / jnp.maximum(ds, 1e-6)
+    p_now = W + pdot * jnp.clip(t_in, 0.0, ds)
+    # DS remainder (ramp): xi → (p1 + pdot/ω) + (xi − p_now − pdot/ω) e^{ωT}.
+    off = pdot / omega0
+    p1 = -W
+    xi_e = jnp.where(
+        t_in < ds,
+        (p1 + off) + (xi_e - p_now - off) * jnp.exp(omega0 * t_ds_rem),
+        xi_e,
+    )
+    # SS remainder (hold at −W).
+    t_ss_rem = jnp.where(t_in < ds, ss, jnp.clip(ds + ss - t_in, 0.0, None))
+    xi_e = -W + (xi_e + W) * jnp.exp(omega0 * t_ss_rem)
+    return jnp.where(swing_is_left, xi_e, -xi_e)
+
+
+def _sagittal_zmp(omega0, v, T, c0, ds):
+    """Per-phase (p0, pdot) of the *ramp-relative* sagittal ZMP profile.
+
+    In coordinates relative to the commanded ramp x_line(t) = v t, every step
+    is identical (shift-periodicity is exact): the stance foot lands ahead of
+    the ramp by c0 and drifts back at -v during its stance; double support
+    ramps the ZMP from the old foot (now at c0 - vT) to the new one.
+    """
+    p0_ds = c0 - v * T
+    pdot_ds = -v + v * T / jnp.maximum(ds, 1e-6)
+    p0_ss = c0 - v * ds
+    pdot_ss = -v + 0.0 * c0
+    return (p0_ds, pdot_ds), (p0_ss, pdot_ss)
+
+
+def sagittal_orbit_state(cfg: GaitConfig, omega0, v):
+    """Initial ramp-relative state X0 = [x_rel, vx_rel] (at DS start) of the
+    shift-periodic sagittal LIPM orbit for forward speed v.
+
+    The stance foot lands c0 = vT/2 ahead of the ramp (symmetric stance:
+    the foot's relative offset runs from +vT/2 to -vT/2 over its step).
+    Periodicity in relative coordinates is plain: X0 = (I - F)^{-1} g.
+    """
+    ds = cfg.double_support_duration
+    ss = cfg.swing_duration
+    T = ds + ss
+    c0 = 0.5 * v * T
+    (p0_ds, pdot_ds), (p0_ss, pdot_ss) = _sagittal_zmp(omega0, v, T, c0, ds)
+    F1, g1 = _lipm_map(omega0, ds, p0_ds, pdot_ds)
+    F2, g2 = _lipm_map(omega0, ss, p0_ss, pdot_ss)
+    F = F2 @ F1
+    g = F2 @ g1 + g2
+    X0 = jnp.linalg.solve(jnp.eye(2, dtype=g.dtype) - F, g)
+    return X0
+
+
+def _sagittal_orbit_eval(cfg: GaitConfig, omega0, v, X0, t_in):
+    """Evaluate the sagittal orbit at phase time t_in in [0, ds+ss)."""
+    ds = cfg.double_support_duration
+    ss = cfg.swing_duration
+    T = ds + ss
+    c0 = 0.5 * v * T
+    (p0_ds, pdot_ds), (p0_ss, pdot_ss) = _sagittal_zmp(omega0, v, T, c0, ds)
+    t1 = jnp.clip(t_in, 0.0, ds)
+    F1, g1 = _lipm_map(omega0, t1, p0_ds, pdot_ds)
+    X_ds = F1 @ X0 + g1
+    Fds, gds = _lipm_map(omega0, ds, p0_ds, pdot_ds)
+    t2 = jnp.clip(t_in - ds, 0.0, None)
+    F2, g2 = _lipm_map(omega0, t2, p0_ss, pdot_ss)
+    X_ss = F2 @ (Fds @ X0 + gds) + g2
+    return jnp.where(t_in < ds, X_ds, X_ss)
+
+
+def sagittal_orbit_reference(
+    cfg: GaitConfig,
+    t: jnp.ndarray,  # absolute gait times (any shape, vmapped over)
+    omega0,
+    v,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(x_rel, vx_rel) of the shift-periodic sagittal orbit at times t,
+    relative to the commanded ramp. Every step is identical (no mirroring);
+    entry/exit blend over one DS window like the lateral reference."""
+    import jax
+
+    half = cfg.swing_duration + cfg.double_support_duration
+    ds = cfg.double_support_duration
+    X0 = sagittal_orbit_state(cfg, omega0, v)
+
+    def one(tk):
+        tau = tk - cfg.start_time
+        j = jnp.floor(tau / half)
+        t_in = tau - j * half
+        X = _sagittal_orbit_eval(cfg, omega0, v, X0, t_in)
+        # Entry blend over the first DS (from standing at the ramp origin).
+        s_in = jnp.clip(tau / jnp.maximum(ds, 1e-6), 0.0, 1.0)
+        beta = 0.5 * (1.0 - jnp.cos(jnp.pi * s_in))
+        X = X * beta
+        # Exit blend back to the (frozen) ramp after the last touchdown.
+        t_end = cfg.n_steps * half
+        s_out = jnp.clip((tau - t_end) / jnp.maximum(ds, 1e-6), 0.0, 1.0)
+        X_out = X0 * (1.0 - 0.5 * (1.0 - jnp.cos(jnp.pi * s_out)))
+        X = jnp.where(tau >= t_end, X_out, X)
+        X = jnp.where((tau < 0.0) | (cfg.n_steps < 0.5), jnp.zeros_like(X), X)
+        return X[0], X[1]
+
+    return jax.vmap(one)(jnp.atleast_1d(t))
+
+
+def touchdown_dcm_nominal_x(cfg: GaitConfig, omega0, v):
+    """Nominal ramp-relative sagittal DCM xi = x_rel + vx_rel/omega0 at
+    touchdown (= DS start of the next step, periodic: equals X0's DCM)."""
+    X0 = sagittal_orbit_state(cfg, omega0, v)
+    return X0[0] + X0[1] / omega0
+
+
+def predict_touchdown_dcm_x(
+    cfg: GaitConfig,
+    omega0,
+    v,
+    xi,     # measured ramp-relative sagittal DCM
+    t_in,   # time into the current step
+):
+    """Propagate the measured sagittal DCM to the upcoming touchdown through
+    the step's nominal ramp-relative ZMP profile (same scalar affine maps as
+    the lateral :func:`predict_touchdown_dcm`, different profile)."""
+    ds = cfg.double_support_duration
+    ss = cfg.swing_duration
+    T = ds + ss
+    c0 = 0.5 * v * T
+    (p0_ds, pdot_ds), (p0_ss, pdot_ss) = _sagittal_zmp(omega0, v, T, c0, ds)
+    t_ds_rem = jnp.clip(ds - t_in, 0.0, None)
+    p_now = p0_ds + pdot_ds * jnp.clip(t_in, 0.0, ds)
+    off = pdot_ds / omega0
+    p1 = p0_ds + pdot_ds * ds
+    xi = jnp.where(
+        t_in < ds,
+        (p1 + off) + (xi - p_now - off) * jnp.exp(omega0 * t_ds_rem),
+        xi,
+    )
+    # SS remainder (ramp at slope -v from p0_ss).
+    t_ss_rem = jnp.where(t_in < ds, ss, jnp.clip(ds + ss - t_in, 0.0, None))
+    p_now_ss = p0_ss + pdot_ss * jnp.clip(jnp.maximum(t_in, ds) - ds, 0.0, ss)
+    off_ss = pdot_ss / omega0
+    p1_ss = p0_ss + pdot_ss * ss
+    xi = (p1_ss + off_ss) + (xi - p_now_ss - off_ss) * jnp.exp(omega0 * t_ss_rem)
+    return xi
 
 
 def contact_horizon(

@@ -102,6 +102,37 @@ def continuous_matrices(
     return A, B
 
 
+def landing_sensitivity(
+    params: SRBDParams,
+    yaw: jnp.ndarray,
+    f_nom_sum: jnp.ndarray,  # (3,) summed nominal force on the landing contacts
+) -> jnp.ndarray:
+    """Continuous-dynamics columns E (NX, 2) for a shared landing-position
+    offset d = [dx, dy] applied to the post-touchdown contact points.
+
+    The torque of a contact at c+d is (c+d-p) x f; the extra term d x f is
+    bilinear in (d, f) — linearizing about the nominal forces f̄ gives
+    ``omega_dot += I_w^{-1} (d x f̄_sum)``, linear in d:
+
+        d x f̄ = [dy f̄z, -dx f̄z, dx f̄y - dy f̄x]  =  M(f̄) @ [dx, dy]
+
+    E rides the same nilpotent ZOH series as B (pass it to
+    :func:`discretize` as extra columns). This is the footstep-integrated
+    MPC coupling: GRFs and the landing point optimized jointly in one QP.
+    """
+    dtype = f_nom_sum.dtype
+    Rz = yaw_matrix(yaw).astype(dtype)
+    I_w = Rz @ params.inertia.astype(dtype) @ Rz.T
+    I_w_inv = jnp.linalg.inv(I_w)
+    fx, fy, fz = f_nom_sum[0], f_nom_sum[1], f_nom_sum[2]
+    zero = jnp.zeros_like(fz)
+    M = jnp.stack(
+        [jnp.stack([zero, fz]), jnp.stack([-fz, zero]), jnp.stack([fy, -fx])]
+    )  # (3, 2)
+    E = jnp.zeros((NX, 2), dtype)
+    return E.at[6:9].set(I_w_inv @ M)
+
+
 def discretize(
     A: jnp.ndarray, B: jnp.ndarray, dt: float
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -147,11 +178,15 @@ def condense(
 
 
 def rollout(
-    Ad: jnp.ndarray, Bd: jnp.ndarray, x0: jnp.ndarray, U: jnp.ndarray
+    Ad: jnp.ndarray, Bd: jnp.ndarray, x0: jnp.ndarray, U: jnp.ndarray,
+    Ed: jnp.ndarray = None, d: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Simulate x_{k+1} = A_k x_k + B_k u_k; returns (N+1, NX) incl. x0."""
+    """Simulate x_{k+1} = A_k x_k + B_k u_k (+ E_k d); returns (N+1, NX)."""
     N = Ad.shape[0]
     xs = [x0]
     for k in range(N):
-        xs.append(Ad[k] @ xs[-1] + Bd[k] @ U[k])
+        x = Ad[k] @ xs[-1] + Bd[k] @ U[k]
+        if Ed is not None:
+            x = x + Ed[k] @ d
+        xs.append(x)
     return jnp.stack(xs)

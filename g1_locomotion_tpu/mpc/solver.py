@@ -39,8 +39,36 @@ class MPCConfig(NamedTuple):
     mu: float = 0.8            # friction coefficient (wbid.py:17)
     fz_min: float = 10.0       # min normal force in stance [N] (wbid.py:123)
     fz_max: float = 1000.0     # max normal force [N] (wbid.py:124)
+    footstep_opt: bool = False  # footstep-integrated MPC: the upcoming
+                               # landing's xy offset d becomes a QP decision
+                               # variable (GRFs + stepping optimized jointly;
+                               # the d x f torque bilinearity is linearized
+                               # about the warm-start forces,
+                               # srbd.landing_sensitivity)
+    w_d: float = 300.0         # quadratic penalty on the landing offset
+    d_scale: float = 1e-3      # QP works in d_hat = d/d_scale (millimeters):
+                               # raw meter units give the d block an H-diagonal
+                               # ~7 orders above the force block (cond(H)~4e8)
+                               # and ADMM+Ruiz stall; in mm the blocks match
+                               # (round-2 measurement: 4e3 vs 2e-5..0.1)
+    d_box: float = 0.05        # reach box |dx|,|dy| <= d_box [m]. Kept small:
+                               # the linearized d x f torque coupling is a
+                               # *refinement* on top of the DCM placement law —
+                               # its first-order model prefers instantaneous
+                               # pitch torque over capture, so large |d| is
+                               # anti-capture (round-2 diagnosis)
+    # Default QP settings: robust for closed-loop control at any horizon.
+    # "high"-precision ADMM iterations + 2 polish rounds (exact masked-KKT
+    # solves at highest precision) are both faster and more accurate than the
+    # round-1 60-iter/1-polish/highest default (tools/exp_qp_precision.py).
+    # The iteration count must stay at 60: 20 iterations suffice at N=10
+    # (bench.py passes that explicitly) but destabilize N=20 closed loops —
+    # the round-2 push-recovery regression (tools/exp_push.py bisect: 20
+    # iters fall, 60 recover, independent of precision). Closed-loop walking
+    # pins its own config (engine.walking_config).
     qp: qplib.QPConfig = qplib.QPConfig(iters=60, scaling_iters=0, rho=1.0,
-                                        rho_segments=2, polish_rounds=1)
+                                        rho_segments=2, polish_rounds=2,
+                                        iter_precision="high")
 
 
 class MPCWeights(NamedTuple):
@@ -68,10 +96,27 @@ def default_weights(dtype=jnp.float32) -> MPCWeights:
     return MPCWeights(Q=Q, R=R)
 
 
+def walking_weights(dtype=jnp.float32) -> MPCWeights:
+    """Weights for dynamic walking: planar velocity weighted 10x height rate.
+
+    With the receding (CoM-anchored) sagittal reference the position rows
+    carry no absolute error, so commanded-velocity tracking rides on the
+    velocity rows — at the default 10 the gait settles into a slow limit
+    cycle at ~0.3x the commanded speed (round-2 SRBD-loop sweep). Kept
+    separate from :func:`default_weights`: heavy velocity weighting trades
+    normal force against velocity error in off-nominal single support
+    (fz up to 35% above mg with the CoM 12 cm off the foot), which corrupts
+    the reference-parity standing behaviors the defaults pin."""
+    w = default_weights(dtype)
+    return w._replace(Q=w.Q.at[9].set(100.0).at[10].set(100.0))
+
+
 class MPCSolution(NamedTuple):
     u0: jnp.ndarray        # (NU,) first-step GRFs — the reference's u_opt0
     U: jnp.ndarray         # (N, NU) full force plan (warm-start state)
     x_horizon: jnp.ndarray # (N+1, NX) predicted states, row 0 = x0 (x_opt)
+    d: jnp.ndarray         # (2,) optimized landing xy offset (0 unless
+                           # footstep_opt)
     pri_res: jnp.ndarray
     dua_res: jnp.ndarray
 
@@ -126,6 +171,11 @@ def build_qp(
     contact_horizon: jnp.ndarray,  # (N, NC) 0/1 flags
     c_horizon: jnp.ndarray,     # (N, NC, 3) world contact positions
     p_com_horizon: jnp.ndarray, # (N, 3) CoM positions for lever arms
+    landing_mask: Optional[jnp.ndarray] = None,  # (N, NC) 1 where the contact
+                                # sits at the upcoming landing point (enables
+                                # the footstep decision columns)
+    f_nom: Optional[jnp.ndarray] = None,  # (N, NC, 3) nominal forces for the
+                                # d x f linearization (warm start)
 ):
     """Assemble the condensed QP (H, g, A, l, u) + lifting matrices."""
     N = cfg.horizon
@@ -143,6 +193,31 @@ def build_qp(
     Ad, Bd = jax.vmap(step_mats)(yaw_hor, r_hor)  # (N,NX,NX), (N,NX,NU)
 
     A_qp, B_qp = srbd.condense(Ad, Bd)  # (N*NX, NX), (N*NX, N*NU)
+
+    Ed = None
+    E_qp = None
+    if cfg.footstep_opt:
+        if landing_mask is None:
+            landing_mask = jnp.zeros((N, NC), dtype)
+        if f_nom is None:
+            f_nom = jnp.zeros((N, NC, 3), dtype)
+        f_sum = jnp.einsum("nc,ncd->nd", landing_mask, f_nom)  # (N, 3)
+
+        def step_E(yaw, fs, r):
+            E_c = srbd.landing_sensitivity(params, yaw, fs)
+            A_c, _ = srbd.continuous_matrices(params, yaw, r)
+            _, E_d = srbd.discretize(A_c, E_c, cfg.dt)
+            return E_d
+
+        Ed = jax.vmap(step_E)(yaw_hor, f_sum, r_hor)  # (N, NX, 2)
+        # Condense the shared d columns: row_k = A_k row_{k-1} + E_k.
+        rows = []
+        row = jnp.zeros((srbd.NX, 2), dtype)
+        for k in range(N):
+            row = (Ad[k] @ row if k > 0 else row) + Ed[k]
+            rows.append(row)
+        # The QP variable is d_hat = d / d_scale (see MPCConfig.d_scale).
+        E_qp = jnp.concatenate(rows, axis=0) * cfg.d_scale  # (N*NX, 2)
 
     Qbar = jnp.tile(weights.Q, N)  # (N*NX,)
 
@@ -172,6 +247,14 @@ def build_qp(
         contact_knots = contact_horizon
         K_knots = N
 
+    # Footstep decision columns: append the condensed d columns to the
+    # (possibly knot-folded) B_qp and penalize d in Rbar.
+    if E_qp is not None:
+        B_qp = jnp.concatenate([B_qp, E_qp], axis=1)
+        Rbar = jnp.concatenate(
+            [Rbar, jnp.full((2,), cfg.w_d * cfg.d_scale**2, dtype)]
+        )
+
     # H = B'QB + R ; g = B'Q (A x0 - X_ref)   (B_qp possibly knot-folded)
     BtQ = B_qp.T * Qbar[None, :]
     H = BtQ @ B_qp + jnp.diag(Rbar)
@@ -198,7 +281,19 @@ def build_qp(
     l = jnp.where(mask, l_act, l_in).reshape(-1)
     u = jnp.where(mask, u_act, u_in).reshape(-1)
 
-    return H, g, A_con, l, u, A_qp, B_qp, Ad, Bd
+    if E_qp is not None:
+        # Two zero columns for d in the cone rows + the reach box rows
+        # |dx|, |dy| <= d_box.
+        A_con = jnp.concatenate(
+            [A_con, jnp.zeros((A_con.shape[0], 2), dtype)], axis=1
+        )
+        box = jnp.zeros((2, A_con.shape[1]), dtype)
+        box = box.at[0, -2].set(1.0).at[1, -1].set(1.0)
+        A_con = jnp.concatenate([A_con, box], axis=0)
+        l = jnp.concatenate([l, jnp.full((2,), -cfg.d_box / cfg.d_scale, dtype)])
+        u = jnp.concatenate([u, jnp.full((2,), cfg.d_box / cfg.d_scale, dtype)])
+
+    return H, g, A_con, l, u, A_qp, B_qp, Ad, Bd, Ed
 
 
 def solve(
@@ -211,26 +306,44 @@ def solve(
     c_horizon: jnp.ndarray,
     p_com_horizon: jnp.ndarray,
     U_warm: Optional[jnp.ndarray] = None,
+    landing_mask: Optional[jnp.ndarray] = None,
+    f_nom: Optional[jnp.ndarray] = None,
 ) -> MPCSolution:
     """One MPC solve — the reference's ``MPC.update(...)`` (run_simulation.py:106).
 
     Returns first-step forces u0 (the reference's u_opt0) and the predicted
     state horizon (x_opt; row 1 is the WBID reference, ros_run_simulation.py:409).
+    With cfg.footstep_opt, also the jointly-optimized landing offset d.
     """
     N = cfg.horizon
+    dtype = x0.dtype
     mb = max(1, cfg.move_block)
     K_knots = (N + mb - 1) // mb
-    H, g, A_con, l, u, A_qp, B_qp, Ad, Bd = build_qp(
-        cfg, weights, params, x0, x_ref, contact_horizon, c_horizon, p_com_horizon
+    if cfg.footstep_opt and f_nom is None and U_warm is not None:
+        f_nom = U_warm.reshape(N, NC, 3)
+    H, g, A_con, l, u, A_qp, B_qp, Ad, Bd, Ed = build_qp(
+        cfg, weights, params, x0, x_ref, contact_horizon, c_horizon,
+        p_com_horizon, landing_mask=landing_mask, f_nom=f_nom,
     )
     if U_warm is None:
         x0_warm = None
     else:
         idxs = jnp.clip(jnp.arange(K_knots) * mb, 0, N - 1)
         x0_warm = U_warm[idxs].reshape(K_knots * NU)
+        if cfg.footstep_opt:
+            x0_warm = jnp.concatenate([x0_warm, jnp.zeros(2, dtype)])
     sol = qplib.solve_qp(H, g, A_con, l, u, cfg=cfg.qp, x0=x0_warm)
-    U = jnp.repeat(sol.x.reshape(K_knots, NU), mb, axis=0)[:N]
-    x_hor = srbd.rollout(Ad, Bd, x0, U)
+    if cfg.footstep_opt:
+        xU, d = sol.x[:-2], sol.x[-2:] * cfg.d_scale
+    else:
+        xU, d = sol.x, jnp.zeros(2, dtype)
+    U = jnp.repeat(xU.reshape(K_knots, NU), mb, axis=0)[:N]
+    # Hard-zero swing-contact forces: the QP constrains them to [0, 0], so
+    # any residual is pure ADMM slack (~1e-2 N in f32) — masking makes the
+    # physical invariant exact for downstream consumers (WBID f_des).
+    U = U * jnp.repeat(contact_horizon, 3, axis=1)
+    x_hor = srbd.rollout(Ad, Bd, x0, U, Ed=Ed, d=d)
     return MPCSolution(
-        u0=U[0], U=U, x_horizon=x_hor, pri_res=sol.pri_res, dua_res=sol.dua_res
+        u0=U[0], U=U, x_horizon=x_hor, d=d,
+        pri_res=sol.pri_res, dua_res=sol.dua_res,
     )

@@ -55,6 +55,13 @@ class QPConfig(NamedTuple):
     # (XLA's batched cholesky/trisolve are sequential and 40-230 ms per
     # batched call on TPU; the recursive Schur inverse is MXU-bound)
     polish_rounds: int = 3  # active-set re-detection rounds (1 = cheapest)
+    iter_precision: str = "highest"  # matmul precision for the ADMM iteration
+    # loop only (factorization/polish always run at highest). TPU f32
+    # "highest" = 6 bf16 MXU passes; "high" = 3 passes. Profiling (round 2)
+    # showed the iteration matvecs at highest precision are ~78% of the MPC
+    # solve; the iterations only need to land in the right active-set basin —
+    # the polish's exact masked KKT solve at highest precision restores
+    # full accuracy.
 
 
 def _inf_norm(v):
@@ -202,7 +209,8 @@ def _solve_qp_impl(P, q, A, l, u, cfg, x0, y0) -> QPSolution:
             y_n = y + rho_vec * (z_ax - z_n)
             return (x_n, z_n, y_n)
 
-        return jax.lax.fori_loop(0, num, body, carry)
+        with jax.default_matmul_precision(cfg.iter_precision):
+            return jax.lax.fori_loop(0, num, body, carry)
 
     # Segmented ADMM: between segments apply the OSQP spectral rho update
     # rho *= sqrt(pri_res/dua_res) and refactor. Each refactor is one batched

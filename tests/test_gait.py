@@ -127,11 +127,127 @@ def test_raibert_tracks_velocity():
 def test_gait_vmap_over_timings():
     """Gait timing is a pytree — sweepable via vmap (scenario randomization)."""
     B = 16
-    cfgs = schedule.GaitConfig(
-        swing_duration=jnp.linspace(0.2, 0.35, B),
-        double_support_duration=jnp.full(B, 0.25),
-        start_time=jnp.full(B, 0.5),
-        n_steps=jnp.full(B, 8.0),
-    )
+    base = schedule.default_gait()
+    cfgs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,)), base
+    )._replace(swing_duration=jnp.linspace(0.2, 0.35, B))
     flags = jax.vmap(lambda c: schedule.contact_flags(c, jnp.asarray(1.0)))(cfgs)
     assert flags.shape == (B, 4)
+
+
+def test_lateral_orbit_periodicity():
+    """The periodic orbit satisfies the mirror condition X(step) = -X(0) and
+    the closed-form phase maps agree with numerical integration."""
+    cfg = schedule.default_gait(jnp.float64)
+    w0 = np.sqrt(9.80665 / 0.598)
+    W = 0.12
+    X0 = np.asarray(schedule.lateral_orbit_state(cfg, w0, jnp.asarray(W)))
+    # integrate y'' = w0^2 (y - p(t)) over one step with the nominal ZMP
+    ds = float(cfg.double_support_duration)
+    ss = float(cfg.swing_duration)
+    dt = 1e-5
+    y, vy = X0
+    t = 0.0
+    while t < ds + ss - dt / 2:
+        p = W - 2 * W * min(t, ds) / ds if t < ds else -W
+        a = w0**2 * (y - p)
+        vy += a * dt
+        y += vy * dt
+        t += dt
+    np.testing.assert_allclose([y, vy], -X0, atol=1e-3)
+
+
+def test_lateral_orbit_reference_continuity():
+    """The horizon reference is continuous through entry, steps, and exit."""
+    cfg = schedule.default_gait(jnp.float64)._replace(
+        n_steps=jnp.asarray(4.0, jnp.float64)
+    )
+    w0 = jnp.asarray(np.sqrt(9.80665 / 0.598), jnp.float64)
+    t = jnp.asarray(np.arange(0.0, 4.5, 0.002), jnp.float64)
+    y, vy = schedule.lateral_orbit_reference(cfg, t, w0, jnp.asarray(0.12))
+    y = np.asarray(y)
+    # max jump between samples bounded by |vy|_max * dt plus slack
+    assert np.abs(np.diff(y)).max() < 0.3 * 0.002 + 1e-4, np.abs(np.diff(y)).max()
+    # symmetric around the centerline, small amplitude (the physical orbit)
+    assert np.abs(y).max() < 0.06
+    # standing before/after
+    np.testing.assert_allclose(y[:200], 0.0, atol=1e-12)
+
+
+def test_predict_touchdown_dcm_on_orbit():
+    """Propagating the orbit's DS-start DCM through the step reproduces the
+    nominal touchdown DCM (the placement correction vanishes on the orbit)."""
+    cfg = schedule.default_gait(jnp.float64)
+    w0 = jnp.asarray(np.sqrt(9.80665 / 0.598), jnp.float64)
+    W = jnp.asarray(0.12, jnp.float64)
+    X0 = schedule.lateral_orbit_state(cfg, w0, W)
+    xi0 = X0[0] + X0[1] / w0
+    for swing_left in (True, False):
+        sl = jnp.asarray(swing_left)
+        xi_meas = jnp.where(sl, xi0, -xi0)  # orbit state, mirrored per parity
+        pred = schedule.predict_touchdown_dcm(
+            cfg, w0, W, xi_meas, jnp.asarray(0.0, jnp.float64), sl
+        )
+        nom = schedule.touchdown_dcm_nominal(cfg, w0, W, sl)
+        np.testing.assert_allclose(float(pred), float(nom), atol=1e-10)
+
+
+def test_sagittal_orbit_periodicity():
+    """The shift-periodic sagittal orbit satisfies X(step) = X(0) in
+    ramp-relative coordinates (verified against numerical integration)."""
+    cfg = schedule.default_gait(jnp.float64)
+    w0 = np.sqrt(9.80665 / 0.598)
+    v = 0.1
+    X0 = np.asarray(schedule.sagittal_orbit_state(cfg, w0, jnp.asarray(v)))
+    ds = float(cfg.double_support_duration)
+    ss = float(cfg.swing_duration)
+    T = ds + ss
+    c0 = 0.5 * v * T
+    dt = 1e-5
+    x, vx = X0
+    t = 0.0
+    while t < T - dt / 2:
+        if t < ds:
+            p = (c0 - v * T) + (-v + v * T / ds) * t
+        else:
+            p = (c0 - v * ds) - v * (t - ds)
+        a = w0**2 * (x - p)
+        vx += a * dt
+        x += vx * dt
+        t += dt
+    np.testing.assert_allclose([x, vx], X0, atol=1e-3)
+
+
+def test_predict_touchdown_dcm_x_on_orbit():
+    """On the sagittal orbit the placement correction vanishes — from any
+    phase within the step, the predicted touchdown DCM equals the nominal."""
+    cfg = schedule.default_gait(jnp.float64)
+    w0 = jnp.asarray(np.sqrt(9.80665 / 0.598), jnp.float64)
+    v = jnp.asarray(0.1, jnp.float64)
+    X0 = schedule.sagittal_orbit_state(cfg, w0, v)
+    nom = schedule.touchdown_dcm_nominal_x(cfg, w0, v)
+    for t_in in (0.0, 0.15, 0.3, 0.45):
+        Xm = schedule._sagittal_orbit_eval(
+            cfg, w0, v, X0, jnp.asarray(t_in, jnp.float64)
+        )
+        xim = Xm[0] + Xm[1] / w0
+        pred = schedule.predict_touchdown_dcm_x(
+            cfg, w0, v, xim, jnp.asarray(t_in, jnp.float64)
+        )
+        np.testing.assert_allclose(float(pred), float(nom), atol=1e-8)
+
+
+def test_sagittal_orbit_reference_continuity():
+    """The sagittal horizon reference is continuous through entry/exit and
+    degenerates to zero at v = 0 (stepping in place)."""
+    cfg = schedule.default_gait(jnp.float64)._replace(
+        n_steps=jnp.asarray(4.0, jnp.float64)
+    )
+    w0 = jnp.asarray(np.sqrt(9.80665 / 0.598), jnp.float64)
+    t = jnp.asarray(np.arange(0.0, 4.5, 0.002), jnp.float64)
+    xo, vxo = schedule.sagittal_orbit_reference(cfg, t, w0, jnp.asarray(0.1))
+    xo = np.asarray(xo)
+    assert np.abs(np.diff(xo)).max() < 0.5 * 0.002 + 2e-4
+    np.testing.assert_allclose(xo[:200], 0.0, atol=1e-12)  # standing before
+    xo0, _ = schedule.sagittal_orbit_reference(cfg, t, w0, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(xo0), 0.0, atol=1e-12)
