@@ -24,6 +24,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA cache: the fused-engine compiles dominate suite wall time;
+# repeat runs with unchanged code load executables from disk instead.
+from g1_locomotion_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 import pytest
 

@@ -2,12 +2,13 @@
 over candidate parameter sets (placement gains, timings).
 
 Usage:
-    python tools/exp_walk.py [n_steps] [gate:sway:dcm[:ds[:swing]] ...]
+    python tools/exp_walk.py [n_steps] [gate:sway:dcm[:ds[:swing[:wr[:kd[:kp]]]]] ...]
 
 Each scenario spec is colon-separated: gate_window, sway_gain, dcm_scale,
-optional double-support duration, optional swing duration. Prints
-per-scenario summaries: CoM lateral envelope, forward progress, final
-velocity, fall flag — the iteration loop for walking robustness work.
+optional double-support duration, swing duration, WBID wrench-task weight,
+CoM-task Kd scale, CoM-task Kp scale. Prints per-scenario summaries: CoM
+lateral envelope, forward progress, final velocity, fall flag — the
+iteration loop for walking robustness work.
 """
 
 import os
@@ -20,6 +21,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from g1_locomotion_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,9 +41,12 @@ def main():
         gate, sway, dcm = parts[0], parts[1], parts[2]
         ds = parts[3] if len(parts) > 3 else 0.25
         swing = parts[4] if len(parts) > 4 else 0.25
-        specs.append((gate, sway, dcm, ds, swing))
+        wr = parts[5] if len(parts) > 5 else 0.05
+        kd = parts[6] if len(parts) > 6 else 1.0
+        kp = parts[7] if len(parts) > 7 else 1.0
+        specs.append((gate, sway, dcm, ds, swing, wr, kd, kp))
     B = len(specs)
-    cols = [jnp.asarray([s[i] for s in specs], jnp.float64) for i in range(5)]
+    cols = [jnp.asarray([s[i] for s in specs], jnp.float64) for i in range(8)]
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
     cfg = eng.walking_config()
@@ -63,6 +71,11 @@ def main():
             swing_duration=cols[4],
         ),
         steps=params.steps._replace(dcm_scale=cols[2]),
+        wbid_gains=params.wbid_gains._replace(
+            w_wrench=cols[5],
+            com_kd=params.wbid_gains.com_kd * cols[6][:, None],
+            com_kp=params.wbid_gains.com_kp * cols[7][:, None],
+        ),
         v_cmd=tile(jnp.asarray([0.1, 0.0], jnp.float64)),
     )
 

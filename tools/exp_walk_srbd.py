@@ -20,6 +20,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+from g1_locomotion_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax.numpy as jnp
 import numpy as np
 
