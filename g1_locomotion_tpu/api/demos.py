@@ -28,9 +28,9 @@ from g1_locomotion_tpu.utils import viz
 
 
 def demo_walking(
-    seconds: float = 3.0,
+    seconds: float = 6.5,
     v_cmd=(0.1, 0.0),
-    n_steps: int = 2,
+    n_steps: int = 8,
     dtype=jnp.float64,
     log_path: Optional[str] = None,
     plot_path: Optional[str] = None,
@@ -38,8 +38,8 @@ def demo_walking(
     """Config 1: straight-line walking demo — SRBD MPC + WBID cascade on the
     G1 23-DoF with a fixed forward footstep plan. Mirrors the reference's
     mpc_wbid_simulation.launch behavior ("executes a few walking steps and
-    then stops", README.md:118-124): the demo config takes n_steps steps and
-    settles back to quiet standing. Uses N=20 (full next-step preview) —
+    then stops", README.md:118-124 — the reference shows 2-3 steps; this demo
+    defaults to 8): takes n_steps steps and settles back to quiet standing. Uses N=20 (full next-step preview) —
     the validated walking configuration."""
     model = load_robot("g1_23dof", dtype=dtype)
     cfg = eng.walking_config()

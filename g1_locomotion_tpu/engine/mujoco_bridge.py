@@ -89,6 +89,7 @@ class MujocoLoop:
             contact_hold=feet,
             contact_hold_R=feet_R,
             swing_start=feet,
+            swing_xy_ref=feet[:, :2],
             anchors=plant_mod.anchors_from_state(model, self.idx, self.state.q),
         )
 
@@ -96,7 +97,9 @@ class MujocoLoop:
             lambda s: eng._mpc_stage(model, self.idx, self.cfg, self.params, s)[0]
         )
         self._wbid_jit = jax.jit(
-            lambda s: eng._wbid_tick(model, self.idx, self.cfg, self.params, s)
+            lambda s, alpha: eng._wbid_tick(
+                model, self.idx, self.cfg, self.params, s, alpha
+            )
         )
         # pal_statistics analogue (/wbid_statistics, /mpc_statistics —
         # ros_run_simulation.py:488,509-511): wall-clock solve timers around
@@ -128,8 +131,14 @@ class MujocoLoop:
                 self.state = self.stats.timer("mpc_solve").time(
                     self._mpc_jit, self.state
                 )
+            # Within-period phase: WBID references interpolate the MPC's
+            # x_opt0 -> x_opt1 prediction (engine/tick.py _wbid_tick).
+            alpha = jnp.asarray(
+                ((t % self.cfg.ticks_per_mpc) + 1.0) / self.cfg.ticks_per_mpc,
+                jnp.float64,
+            )
             new_state, ticklog = self.stats.timer("wbid_solve").time(
-                self._wbid_jit, self.state
+                self._wbid_jit, self.state, alpha
             )
             tau = np.asarray(ticklog.tau)
             # Carry controller state but keep the plant state from MuJoCo.

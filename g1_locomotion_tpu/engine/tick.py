@@ -68,12 +68,14 @@ class ScenarioParams(NamedTuple):
 def walking_config() -> EngineConfig:
     """The validated walking configuration (BASELINE config 1 demo).
 
-    Horizon N=20 previews the full next step; moderated sway; QP solvers on
-    the factorization path with full polish — closed-loop walking is
-    knife-edge sensitive to solver numerics, and this combination is the
-    validated one (the matmul-inverse fast path is for throughput workloads;
-    its ~1e-12 solution differences are enough to perturb the marginal
-    lateral dynamics of the walk).
+    Horizon N=20 previews the full next step; QP solvers on the
+    factorization path with full polish — closed-loop walking is knife-edge
+    sensitive to solver numerics, and this combination is the validated one
+    (the matmul-inverse fast path is for throughput workloads; its ~1e-12
+    solution differences are enough to perturb the marginal lateral dynamics
+    of the walk). Pair with walking_scenario(): roll-honest MPC weights +
+    the net-contact-force WBID task are what make the 8-step walk stable
+    (see CLAUDE.md round-2 notes).
     """
     from g1_locomotion_tpu.ops.qp import QPConfig
 
@@ -137,6 +139,17 @@ class EngineState(NamedTuple):
     gait_clock: jnp.ndarray   # scalar gait time — advances with sim time but
                               # pauses at the end of double support until the
                               # weight transfer completes (state-gated gait)
+    swing_xy_ref: jnp.ndarray # (2, 2) receding swing-foot xy reference —
+                              # carried per tick so mid-swing landing updates
+                              # are absorbed smoothly (see _wbid_tick)
+    gate_hold: jnp.ndarray    # scalar 0/1 — 1 while the weight-transfer gate
+                              # pauses the gait clock. The MPC stage zeroes
+                              # the commanded velocity during a hold: with the
+                              # receding (CoM-anchored) sagittal reference, a
+                              # nonzero v_cmd has no position feedback and
+                              # would march the CoM off the frozen support
+                              # polygon (round-2: forward fall with 0 steps
+                              # taken when a tight gate held the first DS)
 
 
 class TickLog(NamedTuple):
@@ -184,6 +197,8 @@ def init_state(model: RobotModel, cfg: EngineConfig, dtype=jnp.float32) -> Engin
         prev_stance=jnp.ones(2, dtype),
         anchors=plant_mod.anchors_from_state(model, idx, q).astype(dtype),
         gait_clock=jnp.asarray(0.0, dtype),
+        swing_xy_ref=feet[:, :2],
+        gate_hold=jnp.asarray(0.0, dtype),
     )
 
 
@@ -221,9 +236,13 @@ def _mpc_stage(
         [rb.frame_pose(model, body_X, f).p for f in idx.contacts]
     )  # (4,3)
 
+    # During a weight-transfer hold, plan pure station-keeping (see
+    # EngineState.gate_hold).
+    v_cmd_eff = params.v_cmd * (1.0 - state.gate_hold)
     plan = planner.plan_horizon(
-        params.gait, params.steps, params.v_cmd, x0, cpos,
+        params.gait, params.steps, v_cmd_eff, x0, cpos,
         state.gait_clock, cfg.mpc.horizon, cfg.mpc.dt, cfg.com_height,
+        hold=state.gate_hold,
     )
 
     sol = mpc.solve(
@@ -296,16 +315,58 @@ def _wbid_tick(
     liftoff = (contact_active < 0.5) & (state.prev_stance > 0.5)  # (2,)
     touchdown = (contact_active > 0.5) & (state.prev_stance < 0.5)
     swing_start = jnp.where(liftoff[:, None], feet_now, state.swing_start)
-    contact_hold = jnp.where(touchdown[:, None], feet_now, state.contact_hold)
+    # Touchdown re-anchoring: xy where the foot landed, but z at GROUND
+    # height — carried by induction from the initial (standing) anchors.
+    # Pinning z at the measured foot height builds a phantom staircase: the
+    # swing ends a few mm-cm high (schedule flips before the trajectory
+    # finishes descending), the bilateral pin then holds the robot on that
+    # raised phantom step, and each step pins higher (measured round 2:
+    # +3 mm, +16 mm, +78 mm over three touchdowns) until the legs can no
+    # longer reach the old ground and the knee saturates. A real floor
+    # (MuJoCo) has no such mode — contact happens at ground z by definition.
+    feet_td = feet_now.at[:, 2].set(state.contact_hold[:, 2])
+    contact_hold = jnp.where(touchdown[:, None], feet_td, state.contact_hold)
     contact_hold_R = jnp.where(
         touchdown[:, None, None], feet_R_now, state.contact_hold_R
     )
-    # Re-anchor the plant's contact pins where the foot actually touched down.
     cpos_now = jnp.stack(
         [rb.frame_pose(model, body_X, f).p for f in idx.contacts]
     )
     touchdown_c = jnp.repeat(touchdown, 2)  # foot -> its 2 contact points
-    anchors = jnp.where(touchdown_c[:, None], cpos_now, state.anchors)
+    cpos_td = cpos_now.at[:, 2].set(state.anchors[:, 2])
+    anchors = jnp.where(touchdown_c[:, None], cpos_td, state.anchors)
+
+    # Receding swing xy reference: carried tick-to-tick so mid-swing landing
+    # updates are absorbed over the REMAINING phase instead of jumping the
+    # tracked reference. A late capture-point update used to shift the swing
+    # task target near-instantly (xy_phase(s) ~ 1 late in swing) and the foot
+    # missed the planned foothold by up to 10 cm at a step-3 cross-step
+    # (round-2 probe) — the planner then "captured" with a foothold that never
+    # happened. The per-tick advance toward the current landing target follows
+    # the same sine-eased phase profile and is rate-limited to what the leg
+    # can actually track (gait.swing_xy_rate_max), so the realized foothold
+    # stays close to what the planner assumed.
+    ds_phase = cfg.plant.dt / params.gait.swing_duration
+    ph_now = sw.xy_phase(progress)
+    ph_next = sw.xy_phase(jnp.clip(progress + ds_phase, 0.0, 1.0))
+    frac = jnp.clip(
+        (ph_next - ph_now) / jnp.maximum(1.0 - ph_now, 1e-6), 0.0, 1.0
+    )
+
+    def swing_xy(side):
+        is_this = (
+            jnp.where(swing_is_left, side == 0, side == 1) & (in_swing > 0)
+        )
+        ref = state.swing_xy_ref[side]
+        step_vec = frac * (state.landing[:2] - ref)
+        step_norm = jnp.linalg.norm(step_vec)
+        cap = params.gait.swing_xy_rate_max * cfg.plant.dt
+        step_vec = step_vec * jnp.minimum(
+            1.0, cap / jnp.maximum(step_norm, 1e-9)
+        )
+        return jnp.where(is_this, ref + step_vec, feet_now[side, :2])
+
+    swing_xy_ref = jnp.stack([swing_xy(0), swing_xy(1)])
 
     # Swing trajectory for each foot (only the swinging one is weighted in).
     def swing_refs(side):
@@ -318,6 +379,9 @@ def _wbid_tick(
             z_apex=jnp.asarray(cfg.max_swing_height, dtype),
         )
         pos, vel, acc = sw.evaluate(sp, progress, params.gait.swing_duration)
+        # xy position from the receding (rate-limited) reference; z keeps the
+        # closed-form sextic profile.
+        pos = pos.at[:2].set(swing_xy_ref[side])
         # Mirror the reference: xy velocity feedforward zeroed
         # (ros_run_simulation.py:256-257).
         vel = vel.at[0:2].set(0.0)
@@ -336,13 +400,23 @@ def _wbid_tick(
     # interpolated within the period (see docstring).
     x1 = (1.0 - alpha) * state.x_opt0 + alpha * state.x_opt1
     base_R_ref = rot.rpy_to_matrix(x1[0:3])
-    cpos = jnp.stack([rb.frame_pose(model, body_X, f).p for f in idx.contacts])
-    r = cpos - x1[3:6][None, :]
-    inertia_inv = jnp.linalg.inv(params.srbd.inertia)
-    sum_r_cross_w = jnp.sum(jnp.cross(r, jnp.tile(x1[6:9][None], (4, 1))), axis=0)
-    base_angacc = inertia_inv @ sum_r_cross_w  # (wbid.py:269-282)
+    # Plan-consistent angular feedforward. The reference feeds the base task
+    # I^-1 sum(r x omega) (wbid.py:269-282) — dimensionally an acceleration
+    # but physically unrelated to the plan's torque balance (it is ~0 at
+    # walking speeds). The MPC's own prediction carries the consistent
+    # angular acceleration: the lateral GRF it plans *requires* the torso
+    # roll-rate change (omega1 - omega0)/dt. Feeding that (and the matching
+    # momentum reference below) instead was measured (round 2, frozen
+    # double-support probe) to raise delivered lateral force from ~50% to
+    # ~90% of the plan — the reference's few-step limit is partly this
+    # inconsistency.
+    base_angacc = (state.x_opt1[6:9] - state.x_opt0[6:9]) / cfg.mpc.dt
     gvec = jnp.array([0.0, 0.0, srbd.GRAVITY], dtype)
     com_acc = jnp.sum(state.u0.reshape(4, 3), axis=0) / params.srbd.mass + gvec
+    # Momentum reference for the angular-momentum task: the SRBD plan's
+    # I w (zero would damp the planned roll away — see stack.py).
+    angmom_L = params.srbd.inertia @ x1[6:9]
+    angmom_Ldot = params.srbd.inertia @ base_angacc
 
     refs = WBIDReferences(
         com_pos=x1[3:6],
@@ -360,6 +434,8 @@ def _wbid_tick(
         swing_R=contact_hold_R,
         f_des=state.u0.reshape(4, 3),
         contact_active=contact_active,
+        angmom_L=angmom_L,
+        angmom_Ldot=angmom_Ldot,
     )
 
     sol = wbid.solve(
@@ -380,7 +456,8 @@ def _wbid_tick(
     # foot. Without this, swings start with residual lateral velocity and the
     # LIPM fall compounds step over step (the round's main walking failure).
     com_now = rb.com_position(model, body_X)
-    vy_now = rb.com_velocity(model, state.q, state.v, body_X)[1]
+    com_vel_now = rb.com_velocity(model, state.q, state.v, body_X)
+    vy_now = com_vel_now[1]
     half = params.gait.swing_duration + params.gait.double_support_duration
     tau_g = state.gait_clock - params.gait.start_time
     step_f = jnp.floor(tau_g / half)
@@ -390,10 +467,15 @@ def _wbid_tick(
     in_ds_tail = in_gait & (t_in_step < ds) & (
         t_in_step > (1.0 - params.gait.gate_window) * ds
     )
-    # Gate against the periodic orbit's swing-onset state (position AND
-    # velocity): the swing may only start when the lateral state is close to
-    # where the orbit says it must be — otherwise the clock pauses and the
-    # MPC gets more double-support time to converge onto the orbit.
+    # Gate against the periodic orbit's swing-onset DCM: the swing may only
+    # start when the lateral DCM xi = y + vy/omega0 is close to where the
+    # orbit says it must be — otherwise the clock pauses and the MPC gets
+    # more double-support time to converge. The criterion is the DCM ALONE:
+    # during a hold the frozen reference makes the MPC station-keep, which
+    # regulates xi to the hold point (and decays the stable mode), but can
+    # never satisfy a separate velocity criterion with a nonzero target —
+    # independent pos+vel gating deadlocks (round-2 experiment: the gate
+    # never released from the walk's first double support).
     omega0_g = jnp.sqrt(jnp.asarray(-srbd.GRAVITY, dtype) / cfg.com_height)
     W_g = params.steps.step_width
     t_gate = params.gait.start_time + jnp.maximum(step_f, 0.0) * half + 0.999 * ds
@@ -405,12 +487,32 @@ def _wbid_tick(
     next_swing_left = jnp.mod(jnp.maximum(step_f, 0.0), 2.0) < 0.5
     y_stance_g = jnp.where(next_swing_left, feet_now[1, 1], feet_now[0, 1])
     y_line_g = y_stance_g + jnp.where(next_swing_left, W_g, -W_g)
-    y_target = y_line_g + params.gait.sway_gain * y_orb_g[0]
-    vy_target = params.v_cmd[1] + params.gait.sway_gain * vy_orb_g[0]
-    gate_ok = (jnp.abs(com_now[1] - y_target) < params.gait.gate_pos_tol) & (
-        jnp.abs(vy_now - vy_target) < params.gait.gate_vel_tol
+    xi_target = (
+        y_line_g
+        + params.v_cmd[1] / omega0_g
+        + params.gait.sway_gain * (y_orb_g[0] + vy_orb_g[0] / omega0_g)
     )
-    clock_rate = jnp.where(in_ds_tail & ~gate_ok, 0.0, 1.0)
+    xi_meas = com_now[1] + (vy_now - params.v_cmd[1]) / omega0_g
+    # One-sided release: the transfer moves xi TOWARD the upcoming stance
+    # side (right for a left swing); having moved past the target is fine —
+    # overshoot is on the stance side where foot placement absorbs it. A
+    # two-sided band re-holds on overshoot, exactly when the swing should
+    # start.
+    gate_err = jnp.where(
+        next_swing_left, xi_meas - xi_target, xi_target - xi_meas
+    )
+    gate_ok = gate_err < params.gait.gate_xi_tol
+    # Vertical crouch guard (always armed): never start a swing while the
+    # CoM is sagging — give the MPC double-support time to stand back up
+    # instead of stepping into a knee-saturating crouch.
+    in_ds_end = in_gait & (t_in_step < ds) & (t_in_step > 0.8 * ds)
+    z_ok = (com_now[2] > cfg.com_height - params.gait.gate_z_tol) & (
+        com_vel_now[2] > -params.gait.gate_vz_tol
+    )
+    clock_rate = jnp.where(
+        (in_ds_tail & ~gate_ok) | (in_ds_end & ~z_ok), 0.0, 1.0
+    )
+    gate_hold = 1.0 - clock_rate
 
     log = TickLog(
         com=com_now,
@@ -433,6 +535,8 @@ def _wbid_tick(
         prev_stance=contact_active.astype(dtype),
         anchors=anchors,
         gait_clock=state.gait_clock + clock_rate * cfg.plant.dt,
+        swing_xy_ref=swing_xy_ref,
+        gate_hold=jnp.asarray(gate_hold, dtype),
     )
     return new_state, log
 

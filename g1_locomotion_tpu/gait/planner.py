@@ -79,8 +79,12 @@ def plan_horizon(
     N: int,
     dt_mpc: float,
     com_height: float,
+    hold: jnp.ndarray | float = 0.0,  # 1 while the weight-transfer gate
+                              # pauses the clock: switches the sagittal
+                              # anchor from receding to absolute (see below)
 ) -> MPCPlan:
     dtype = x0.dtype
+    hold = jnp.asarray(hold, dtype)
 
     contact_hor = gs.contact_horizon(gait, gait_clock, N, dt_mpc)
     step_idx, _, swing_is_left, _ = gs.phase_info(gait, gait_clock)
@@ -214,8 +218,14 @@ def plan_horizon(
     # observed as a velocity runaway in the SRBD loop even at v_cmd = 0).
     # Foot placement stays foot-relative and is the sagittal stabilizer.
     # Outside the gait the anchor is the (static) stance ankle mean — an
-    # absolute standing/settle hold.
-    x_anchor = jnp.where(in_step, x0[3] - x_orb_now, ramp_x)
+    # absolute standing/settle hold. During a weight-transfer HOLD the anchor
+    # must also be absolute: stepping (the receding design's stabilizer) is
+    # exactly what the hold withholds, and a receding reference then corrects
+    # no position drift at all — the robot creeps forward off the frozen
+    # support polygon and tips (round-2 experiment: forward fall with the
+    # clock paused).
+    recede = in_step & (hold < 0.5)
+    x_anchor = jnp.where(recede, x0[3] - x_orb_now, ramp_x)
     x_ref_line = x_anchor + v_cmd[0] * adv + x_orb
     vx_ref = jnp.where(in_gait_k, v_cmd[0], 0.0) + vx_orb
     y_ref = line_y + v_cmd[1] * adv + gait.sway_gain * y_orb

@@ -37,8 +37,24 @@ class GaitConfig(NamedTuple):
                               # the gait clock until the CoM is over (and
                               # settling above) the upcoming stance foot —
                               # state-gated step timing
-    gate_pos_tol: jnp.ndarray  # gate: |y_com - y_target| tolerance [m]
-    gate_vel_tol: jnp.ndarray  # gate: |vy_com| tolerance [m/s]
+    gate_xi_tol: jnp.ndarray   # gate: |xi_y - xi_target| tolerance [m] on the
+                               # lateral DCM. One number, not separate pos/vel
+                               # tolerances: the DCM is the only quantity a
+                               # station-keeping MPC can regulate during a
+                               # clock hold (position converges to the frozen
+                               # reference with vy -> 0, so any independent
+                               # velocity criterion with a nonzero target
+                               # deadlocks the gate — round-2 experiment), and
+                               # the LIPM's unstable mode depends on xi alone.
+    # Vertical crouch guard (always on, unlike the lateral gate): in the DS
+    # tail, refuse to start the swing while the CoM is sagging — a swing
+    # begun from a deep crouch collapses the stance knee (round-2 failure
+    # mode after the lateral fix: z sag -> step anyway -> knee saturation).
+    gate_z_tol: jnp.ndarray    # allow swing only if com_z > target - tol [m]
+    gate_vz_tol: jnp.ndarray   # ... and vz > -tol [m/s]
+    swing_xy_rate_max: jnp.ndarray  # [m/s] cap on the receding swing-foot
+                                    # xy reference speed (realizable-foothold
+                                    # guard, engine/tick.py)
 
 
 def default_gait(dtype=jnp.float32) -> GaitConfig:
@@ -49,8 +65,10 @@ def default_gait(dtype=jnp.float32) -> GaitConfig:
         n_steps=jnp.asarray(8, dtype),
         sway_gain=jnp.asarray(1.0, dtype),
         gate_window=jnp.asarray(0.0, dtype),
-        gate_pos_tol=jnp.asarray(0.05, dtype),
-        gate_vel_tol=jnp.asarray(0.25, dtype),
+        gate_xi_tol=jnp.asarray(0.03, dtype),
+        gate_z_tol=jnp.asarray(0.06, dtype),
+        gate_vz_tol=jnp.asarray(0.40, dtype),
+        swing_xy_rate_max=jnp.asarray(1.8, dtype),
     )
 
 

@@ -97,18 +97,30 @@ def default_weights(dtype=jnp.float32) -> MPCWeights:
 
 
 def walking_weights(dtype=jnp.float32) -> MPCWeights:
-    """Weights for dynamic walking: planar velocity weighted 10x height rate.
+    """Weights for dynamic walking: planar velocity weighted 10x height rate,
+    and the roll channel priced honestly.
 
-    With the receding (CoM-anchored) sagittal reference the position rows
-    carry no absolute error, so commanded-velocity tracking rides on the
-    velocity rows — at the default 10 the gait settles into a slow limit
-    cycle at ~0.3x the commanded speed (round-2 SRBD-loop sweep). Kept
-    separate from :func:`default_weights`: heavy velocity weighting trades
-    normal force against velocity error in off-nominal single support
+    Velocity rows: with the receding (CoM-anchored) sagittal reference the
+    position rows carry no absolute error, so commanded-velocity tracking
+    rides on the velocity rows — at the default 10 the gait settles into a
+    slow limit cycle at ~0.3x the commanded speed (round-2 SRBD-loop sweep).
+
+    Roll rows (theta_x 5 -> 30, omega_x 0.1 -> 3): with the default near-zero
+    roll weights the MPC "generates" lateral force through the angular
+    channel — when the lateral state diverges it plans 50-degree torso-roll
+    trajectories (omega_x up to 4.5 rad/s measured in round 2) that no
+    controller should execute; honest roll pricing keeps planned lateral
+    forces inside the support polygon's ZMP authority, and foot placement
+    (which the MPC co-optimizes) carries the correction instead.
+
+    Kept separate from :func:`default_weights`: heavy velocity weighting
+    trades normal force against velocity error in off-nominal single support
     (fz up to 35% above mg with the CoM 12 cm off the foot), which corrupts
     the reference-parity standing behaviors the defaults pin."""
     w = default_weights(dtype)
-    return w._replace(Q=w.Q.at[9].set(100.0).at[10].set(100.0))
+    return w._replace(
+        Q=w.Q.at[9].set(100.0).at[10].set(100.0).at[0].set(30.0).at[6].set(3.0)
+    )
 
 
 class MPCSolution(NamedTuple):

@@ -54,13 +54,17 @@ def solve(
     qddot = sol.x[:nv]
     forces = sol.x[nv:].reshape(NF, 3)
 
-    # tau = RNEA(q, v, qddot) - Jc^T f (wbid.py:316-324).
+    # tau = RNEA(q, v, qddot) - Jc^T f (wbid.py:316-324). Clipped to the
+    # actuator limits: the QP's torque rows hold within ADMM tolerance
+    # (~0.5 N.m worst-case slack on ~20 of 6500 walking ticks), and a real
+    # motor saturates at the limit — same clip the MuJoCo bridge applies.
     tau_full = dyn.rnea(model, q, v, qddot) - Jc_T @ sol.x[nv:]
     base_res = tau_full[0:6]
+    tau_act = jnp.clip(tau_full[6:], -model.tau_max, model.tau_max)
     return WBIDSolution(
         qddot=qddot,
         forces=forces,
-        tau=tau_full[6:],
+        tau=tau_act,
         base_wrench_res=base_res,
         pri_res=sol.pri_res,
         dua_res=sol.dua_res,

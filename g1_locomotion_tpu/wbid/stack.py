@@ -300,10 +300,16 @@ def build_qp(
     # --- Angular momentum task (wbid.py:136-142,168) ---
     L = _angular_momentum_impl(model, q, v, body_X, com)
     A_G = centroidal_momentum_matrix(model, q, body_X)
-    # Ldot_des = -K L (drive momentum to zero; OpenSoT setMomentumGain).
+    # Ldot_des = Ldot_ref + K (L_ref - L). With L_ref = Ldot_ref = 0 this is
+    # the reference's pure damping (drive momentum to zero; OpenSoT
+    # setMomentumGain) — but a walking MPC plan *rolls* the body (the lateral
+    # GRF demands torso roll), so the engine feeds the plan's own momentum
+    # (I_srbd w_plan) here; damping all momentum to zero fights the planned
+    # roll and was measured (round 2) to cost ~20% of the planned lateral
+    # force delivery.
     add(
         jnp.concatenate([A_G, zeros_f], axis=1),
-        -gains.angmom_k * L - L_drift,
+        refs.angmom_Ldot + gains.angmom_k * (refs.angmom_L - L) - L_drift,
         gains.w_angmom,
     )
 
@@ -357,6 +363,34 @@ def build_qp(
         )
         add(Af, refs.f_des[i], gains.w_wrench)
 
+    # --- TOTAL-force tracking (sum over contacts) ---
+    # Pins the NET contact force — i.e. the realized CoM dynamics, by Newton —
+    # to the MPC's plan, while leaving the per-contact DISTRIBUTION free for
+    # the moment balance and the cones. Round-2 diagnosis: with only the
+    # per-contact task (w=0.05, in N^2 units) the force DOFs are a tug-of-war
+    # between it and the base-orientation task, whose reference Kd=250
+    # (wbid.py:75) converts ~0.1 rad/s of roll-rate error into ~80 N of
+    # lateral force redirection — the realized lateral force swung by
+    # +-50-100 N around the plan and the walking gait diverged at step 3-4,
+    # while the same MPC plan applied exactly (mpc/srbd_loop.py) walks
+    # arbitrarily far. Weighted in N^2: at the default 25, a 5 N net
+    # deviation costs 625 — above anything the attitude tasks can trade.
+    #
+    # PER-AXIS weight, default (25, 25, 0): the xy channels carry the LIPM
+    # instability and must follow the plan open-loop within the MPC period;
+    # the z channel is self-stable and NEEDS the CoM height PD's feedback —
+    # a force pin in N^2 units costs w*(m*da)^2 = 1156*w*da^2 against the
+    # CoM task's 3*da^2, so even w_z = 0.1 silences the height servo and the
+    # unmodeled swing-leg force error (~1 m/s^2) integrates freely: measured
+    # round 2, the CoM height wandered 0.56-0.68 m over 8 steps and the
+    # settle fell at leg overextension.
+    Af_tot = jnp.concatenate(
+        [jnp.zeros((3, nv), dtype)]
+        + [jnp.eye(3, dtype=dtype) for _ in range(NF)],
+        axis=1,
+    )
+    add(Af_tot, jnp.sum(refs.f_des, axis=0), gains.w_wrench_total)
+
     # Assemble H, g.
     A_all = jnp.concatenate(A_blocks, axis=0)
     b_all = jnp.concatenate(b_blocks)
@@ -386,7 +420,9 @@ def build_qp(
     # produces +-2e6-scale bounds that flip inconsistent near the limits and
     # make the QP infeasible mid-swing). Feasibility is enforced by
     # construction: if the window collapses, both bounds meet at the midpoint.
-    T_lim = 0.1
+    # The window length is a gain (see WBIDGains.qlim_lookahead: long windows
+    # brake joints far from their limits and choke CoM force tracking).
+    T_lim = gains.qlim_lookahead
     qj_min = model.q_lower
     qj_max = model.q_upper
     sel_j = jnp.concatenate(

@@ -48,12 +48,28 @@ class WBIDGains(NamedTuple):
     w_swing: jnp.ndarray
     # Wrench tracking to MPC forces (wbid.py:179-182): weight 0.05.
     w_wrench: jnp.ndarray
+    w_wrench_total: jnp.ndarray  # (3,) per-axis net-contact-force task weight
+                                 # (stack.py): pins the realized CoM dynamics
+                                 # to the MPC plan while the per-contact split
+                                 # stays free. xy high (plan-following for the
+                                 # laterally unstable LIPM channels), z zero
+                                 # (the height servo needs PD feedback)
     # Friction coefficient (wbid.py:17).
     mu: jnp.ndarray
     # Stance wrench limits (wbid.py:123-124): fz in [10, 1000], |fx|,|fy| <= 1000.
     fz_min: jnp.ndarray
     fz_max: jnp.ndarray
     fxy_max: jnp.ndarray
+    # Joint-limit viability lookahead [s]: the acceleration bound brakes a
+    # joint so it can stop within this window. The reference's JointLimits
+    # run at dt=1 ms with 10x velocity headroom (wbid.py:196-204) — bounds of
+    # ~2e6 rad/s^2, i.e. effectively *vacuous* in normal operation. A long
+    # lookahead (0.1 s) is much more conservative than the reference and was
+    # measured (round 2) to strangle lateral CoM force delivery mid-walk
+    # (ankle-pitch row goes active in double support, the WBID delivers half
+    # the MPC's planned force, the gait pumps and falls). 0.02 s keeps a real
+    # hard stop close to the limit without the anticipatory braking.
+    qlim_lookahead: jnp.ndarray
 
 
 def default_gains(dtype=jnp.float32) -> WBIDGains:
@@ -78,10 +94,12 @@ def default_gains(dtype=jnp.float32) -> WBIDGains:
         swing_kd=jnp.asarray([30.0, 30.0, 51.0, 21.0, 21.0, 21.0], dtype),
         w_swing=jnp.asarray(2.9, dtype),
         w_wrench=jnp.asarray(0.05, dtype),
+        w_wrench_total=jnp.asarray([25.0, 25.0, 0.0], dtype),
         mu=jnp.asarray(0.8, dtype),
         fz_min=jnp.asarray(10.0, dtype),
         fz_max=jnp.asarray(1000.0, dtype),
         fxy_max=jnp.asarray(1000.0, dtype),
+        qlim_lookahead=jnp.asarray(0.02, dtype),
     )
 
 
@@ -106,3 +124,8 @@ class WBIDReferences(NamedTuple):
     f_des: jnp.ndarray         # (4, 3) MPC contact forces (wrench tracking)
     contact_active: jnp.ndarray  # (2,) 1 = foot in stance (drives task masking
                                  # and wrench limits, ros_run_simulation.py:230-244)
+    angmom_L: jnp.ndarray      # (3,) desired centroidal angular momentum —
+                               # the plan's I_srbd @ omega (0 = reference
+                               # behavior: damp all momentum, wbid.py:136-142)
+    angmom_Ldot: jnp.ndarray   # (3,) momentum-rate feedforward — the plan's
+                               # I_srbd @ omega_dot (0 = reference behavior)

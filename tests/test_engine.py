@@ -26,10 +26,10 @@ def test_standing_rollout_stable(g1, standing_engine):
     state = eng.init_state(g1, cfg, jnp.float64)
     com0 = None
 
-    run = jax.jit(lambda s: rollout(s, params, 10))
+    run = jax.jit(lambda s: rollout(s, params, 25))
     final, logs = run(state)
 
-    com = np.asarray(logs.com).reshape(-1, 3)  # (10*40, 3)
+    com = np.asarray(logs.com).reshape(-1, 3)  # (25*40, 3)
     tau = np.asarray(logs.tau).reshape(-1, g1.nj)
     forces = np.asarray(logs.forces).reshape(-1, 4, 3)
 
@@ -37,9 +37,24 @@ def test_standing_rollout_stable(g1, standing_engine):
     assert np.isfinite(com).all()
     assert np.isfinite(tau).all()
     # The engine drives the CoM from the FK-standing height (0.628) toward the
-    # MPC height target (cfg.com_height=0.598) and holds x/y.
+    # MPC height target (cfg.com_height=0.598) and re-centers it over the
+    # stance ankle (the planner's standing anchor is the support centroid
+    # minus the heel/toe asymmetry offset, gait/planner.py — the natural
+    # q_init CoM starts ~15 mm ahead of it).
+    from g1_locomotion_tpu.gait.planner import _HT_X_OFF
+    from g1_locomotion_tpu.models import robot as rb
+    from g1_locomotion_tpu.wbid.stack import StackIndices
+
+    idx = StackIndices.from_model(g1)
+    X = rb.fk(g1, final.q)
+    cpos = np.stack(
+        [np.asarray(rb.frame_pose(g1, X, f).p) for f in idx.contacts]
+    )
+    x_anchor = cpos[:, 0].mean() - _HT_X_OFF
     assert abs(com[-1, 2] - cfg.com_height) < 8e-3, com[-1]
-    assert abs(com[-1, 0] - com[0, 0]) < 5e-3
+    # Re-centering is slow (~0.04 m/s approach): at 1.0 s the CoM is within
+    # 8 mm of the anchor, from 32 mm ahead at q_init.
+    assert abs(com[-1, 0] - x_anchor) < 8e-3, (com[-1, 0], x_anchor)
     assert abs(com[-1, 1] - com[0, 1]) < 5e-3
     # Base stays upright.
     from g1_locomotion_tpu.core import rotations as rot

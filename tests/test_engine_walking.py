@@ -1,12 +1,14 @@
-"""Closed-loop walking on the constrained-dynamics plant — the reference's
-walking demo (BASELINE config 1: "executes a few walking steps and then
-stops", README.md:118-124).
+"""Closed-loop 8-step walking on the constrained-dynamics plant — beyond the
+reference's demo (BASELINE config 1: "executes a few walking steps and then
+stops", README.md:118-124; the reference shows 2-3 steps).
 
-Demo-parity configuration: horizon N=20 (full next-step preview), moderated
-sway reference, Raibert lateral foot placement. Two steps complete and the
-robot returns to quiet standing. Longer walks accumulate lateral drift —
-a known limitation tracked for the next round (step-timing adaptation /
-footstep-integrated MPC).
+Validated round-2 configuration: roll-honest MPC weights (walking_weights:
+the angular channel priced so planned lateral forces stay inside the support
+polygon's ZMP authority), net-contact-force WBID task (w_wrench_total: the
+realized CoM dynamics follow the MPC plan exactly, wbid/stack.py), DCM
+footstep feedback with the receding rate-limited swing reference
+(engine/tick.py). Eight alternating steps at v_cmd = 0.1 m/s, then settle to
+quiet standing.
 """
 
 import jax
@@ -19,28 +21,35 @@ from g1_locomotion_tpu.models import robot as rb
 from g1_locomotion_tpu.mpc import solver as mpc
 from g1_locomotion_tpu.wbid.stack import StackIndices
 
+N_STEPS = 8
+
 
 @pytest.fixture(scope="module")
 def walk_run(g1):
     cfg = eng.walking_config()
-    params = eng.walking_scenario(jnp.float64, n_steps=2.0, v_cmd=(0.1, 0.0))
+    params = eng.walking_scenario(
+        jnp.float64, n_steps=float(N_STEPS), v_cmd=(0.1, 0.0)
+    )
     rollout = eng.make_rollout(g1, cfg)
     state = eng.init_state(g1, cfg, jnp.float64)
-    # 0.5 stand + 2 steps x 0.5 + 1.5 settle = 3.0 s = 75 MPC periods.
-    run = jax.jit(lambda s: rollout(s, params, 75))
+    # 0.5 stand + 8 steps x 0.5 + 1.5 settle = 6.5 s = 163 MPC periods.
+    run = jax.jit(lambda s: rollout(s, params, 163))
     final, logs = run(state)
     return cfg, params, final, logs
 
 
 def test_walk_completes_and_stands(g1, walk_run):
-    """Both steps execute; the robot ends in a quiet stand at target height."""
+    """All 8 steps execute; the robot ends in a quiet stand at target height
+    with bounded lateral excursion throughout."""
     cfg, params, final, logs = walk_run
     com = np.asarray(logs.com).reshape(-1, 3)
     assert np.isfinite(com).all()
     assert com[:, 2].min() > 0.45, com[:, 2].min()
+    # Lateral excursion bounded for the whole walk (VERDICT round-1 bar).
+    assert np.abs(com[:, 1]).max() < 0.2, np.abs(com[:, 1]).max()
     # Final: quiet stand at the CoM height target.
-    np.testing.assert_allclose(com[-1, 2], cfg.com_height, atol=0.01)
-    assert abs(com[-1, 1]) < 0.05, com[-1]
+    np.testing.assert_allclose(com[-1, 2], cfg.com_height, atol=0.02)
+    assert abs(com[-1, 1]) < 0.08, com[-1]
     assert float(jnp.abs(final.v).max()) < 0.3
 
     from g1_locomotion_tpu.core import rotations as rot
@@ -49,32 +58,27 @@ def test_walk_completes_and_stands(g1, walk_run):
     assert np.abs(rpy[:2]).max() < 0.15, rpy
 
 
-@pytest.mark.xfail(
-    reason="round-2 walking redesign in flight (orbit references + "
-    "footstep-integrated MPC); to be promoted to an 8-step walk assertion "
-    "once validated",
-    strict=False,
-)
 def test_walk_advances(g1, walk_run):
-    """Each foot takes one 0.10 m step forward (fixed plan, leapfrog)."""
+    """The walk tracks the commanded 0.1 m/s: the CoM and both feet advance."""
     cfg, params, final, logs = walk_run
     X = rb.fk(g1, final.q)
     idx = StackIndices.from_model(g1)
     feet_x = [float(rb.frame_pose(g1, X, f).p[0]) for f in idx.feet]
-    assert feet_x[0] > 0.07, feet_x  # started at ~0.021
-    assert feet_x[1] > 0.07, feet_x
+    assert feet_x[0] > 0.25, feet_x  # started at ~0.021
+    assert feet_x[1] > 0.25, feet_x
     com = np.asarray(logs.com).reshape(-1, 3)
-    assert com[-1, 0] - com[0, 0] > 0.04, (com[0, 0], com[-1, 0])
+    assert com[-1, 0] - com[0, 0] > 0.25, (com[0, 0], com[-1, 0])
 
 
 def test_walk_contact_sequence(g1, walk_run):
-    """One left swing then one right swing; never both feet off the ground."""
+    """Four left swings and four right swings, alternating; never both feet
+    off the ground."""
     cfg, params, final, logs = walk_run
     contact = np.asarray(logs.contact).reshape(-1, 4)
     left_up = (contact[:, 0] < 0.5).astype(int)
     right_up = (contact[:, 2] < 0.5).astype(int)
-    assert int(np.clip(np.diff(left_up), 0, 1).sum()) == 1
-    assert int(np.clip(np.diff(right_up), 0, 1).sum()) == 1
+    assert int(np.clip(np.diff(left_up), 0, 1).sum()) == N_STEPS // 2
+    assert int(np.clip(np.diff(right_up), 0, 1).sum()) == N_STEPS // 2
     assert not ((contact[:, 0] < 0.5) & (contact[:, 2] < 0.5)).any()
 
 

@@ -23,19 +23,15 @@ from g1_locomotion_tpu.engine import tick as eng
 GOLDEN = Path(__file__).parent / "goldens" / "walk_golden.npz"
 
 
-@pytest.mark.xfail(
-    reason="round-2 walking redesign in flight: orbit-based references + "
-    "footstep-integrated MPC changed the trajectory; golden to be re-recorded "
-    "once the 8-step walk is validated (tools/update_golden.py)",
-    strict=False,
-)
 @pytest.mark.skipif(not GOLDEN.exists(), reason="golden not recorded")
 def test_walk_golden_trajectory(g1):
+    """First 4.0 s (stand + 7 steps) of the validated 8-step walk — includes
+    the step-2/3 region where closed-loop walking historically broke."""
     cfg = eng.walking_config()
-    params = eng.walking_scenario(jnp.float64, n_steps=2.0, v_cmd=(0.1, 0.0))
+    params = eng.walking_scenario(jnp.float64, n_steps=8.0, v_cmd=(0.1, 0.0))
     rollout = eng.make_rollout(g1, cfg)
     state = eng.init_state(g1, cfg, jnp.float64)
-    final, logs = jax.jit(lambda s: rollout(s, params, 19))(state)
+    final, logs = jax.jit(lambda s: rollout(s, params, 100))(state)
 
     with np.load(GOLDEN) as z:
         com_g, tau_g, forces_g, contact_g = (

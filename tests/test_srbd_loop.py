@@ -37,11 +37,16 @@ def test_srbd_walk_8_steps_and_settle():
     x = np.asarray(logs.x)
     assert np.isfinite(x).all()
     # Height held throughout (the SRBD never "falls"): bounded vertical
-    # oscillation during stepping transients, exact recovery at settle.
-    np.testing.assert_allclose(x[:, 5], 0.598, atol=0.04)
+    # oscillation during stepping transients (the roll-honest walking weights
+    # trade ~5 cm of transient sag at gait entry for realizable lateral
+    # plans), exact recovery at settle.
+    np.testing.assert_allclose(x[:, 5], 0.598, atol=0.055)
     np.testing.assert_allclose(x[-20:, 5], 0.598, atol=2e-3)
-    # Lateral excursion bounded by ~ the orbit amplitude + margin.
-    assert np.abs(x[:, 4]).max() < 0.08, np.abs(x[:, 4]).max()
+    # Lateral excursion bounded. With the roll-honest walking weights the
+    # MPC stabilizes laterally by STEPPING (not by roll-channel GRFs), so
+    # the walking line wanders more than the old force-cheating plan did —
+    # bounded, settling, but wider (measured 0.20 at 8 steps).
+    assert np.abs(x[:, 4]).max() < 0.25, np.abs(x[:, 4]).max()
     # Forward progress: roughly v * walk time (8 steps x 0.5 s).
     assert 0.25 < x[-1, 3] < 0.65, x[-1, 3]
     # Settled: final planar velocity ~ 0.
@@ -73,6 +78,9 @@ def test_srbd_walk_kick_recovery():
     params, final, logs = _walk(8.0, (0.1, 0.0), n_periods, kicks=kicks)
     x = np.asarray(logs.x)
     assert np.isfinite(x).all()
-    np.testing.assert_allclose(x[:, 5], 0.598, atol=0.04)
+    np.testing.assert_allclose(x[:, 5], 0.598, atol=0.055)
     assert np.abs(x[-1, 9:11]).max() < 0.05  # settles after the kick
-    assert np.abs(x[-1, 4]) < 0.1
+    # The kick is absorbed by stepping: the gait line displaces (~0.17 m,
+    # feet-relative anchoring keeps no absolute-y memory — the behavior of a
+    # real stepping recovery) and the walk continues, settling quietly.
+    assert np.abs(x[-1, 4]) < 0.3

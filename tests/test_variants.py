@@ -86,7 +86,9 @@ def test_29dof_cascade_tick():
         lambda s: eng._mpc_stage(model, idx, cfg, params, s)[0]
     )(state)
     new_state, log = jax.jit(
-        lambda s: eng._wbid_tick(model, idx, cfg, params, s)
+        lambda s: eng._wbid_tick(
+            model, idx, cfg, params, s, jnp.asarray(1.0, jnp.float64)
+        )
     )(state)
 
     assert np.isfinite(np.asarray(log.tau)).all()

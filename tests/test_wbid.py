@@ -44,6 +44,8 @@ def standing_refs(g1, q, dtype=jnp.float64):
         swing_R=jnp.stack(feet_R),
         f_des=f_des,
         contact_active=jnp.ones(2, dtype),
+        angmom_L=jnp.zeros(3, dtype),
+        angmom_Ldot=jnp.zeros(3, dtype),
     )
 
 
@@ -55,7 +57,12 @@ def test_standing_equilibrium(g1, q_stand, setup):
     v = jnp.zeros(g1.nv)
     sol = wbid.solve(g1, setup, cfg, gains, q_stand, v, refs)
 
-    assert float(jnp.abs(sol.qddot).max()) < 0.5, np.asarray(sol.qddot)
+    # The net-contact-force task (w_wrench_total) pins sum(f_xy) to the
+    # (static) f_des exactly; the small gravity/posture residual that used to
+    # leak into ~1.4 N of tangential force now shows up as a <1 rad/s^2 joint
+    # transient instead — by design (the planned CoM dynamics are delivered,
+    # posture DOFs absorb model residuals).
+    assert float(jnp.abs(sol.qddot).max()) < 1.0, np.asarray(sol.qddot)
     fz_total = float(sol.forces[:, 2].sum())
     np.testing.assert_allclose(fz_total, 34.1329 * 9.80665, rtol=0.05)
     # Floating-base dynamics residual (DynamicFeasibility, wbid.py:184-190).
