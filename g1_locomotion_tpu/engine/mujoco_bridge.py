@@ -41,7 +41,8 @@ class MujocoLoop:
         cfg: Optional[eng.EngineConfig] = None,
         params: Optional[eng.ScenarioParams] = None,
         variant: str = "g1_23dof",
-        settle_ticks: int = 300,
+        settle_ticks: int = 3000,
+        settle_quiet: float = 0.03,
     ):
         import mujoco
 
@@ -62,14 +63,26 @@ class MujocoLoop:
 
         # Let the robot settle onto the floor passively held at q_init by
         # strong joint PD before engaging the cascade (the reference's sim
-        # starts slightly above ground too, config.py:6 comment).
+        # starts slightly above ground too, config.py:6 comment). Settle
+        # until QUIET (max|qvel| < settle_quiet), not a fixed count: handing
+        # the cascade a still-moving robot (the old 300-tick cut-off left
+        # ~0.1 m/s of backward CoM velocity) started it at the edge of the
+        # heel's CoP authority and it toppled within ~1.5 s — with a quiet
+        # hand-off the same controller stands indefinitely (round-2 probe).
         q0 = self.mj_data.qpos[7:].copy()
-        for _ in range(settle_ticks):
+        quiet_run = 0
+        for k in range(settle_ticks):
             tau = 300.0 * (q0 - self.mj_data.qpos[7:]) - 10.0 * self.mj_data.qvel[6:]
             self.mj_data.ctrl[:] = np.clip(
                 tau, -np.asarray(model.tau_max), np.asarray(model.tau_max)
             )
             mujoco.mj_step(self.mj_model, self.mj_data)
+            # SUSTAINED quiet, not an instant: the settle bounces, and any
+            # single turning point has qvel ~ 0 while the contact springs are
+            # loaded — exiting there hands the cascade a rebounding robot.
+            quiet_run = quiet_run + 1 if np.abs(self.mj_data.qvel).max() < settle_quiet else 0
+            if k >= 500 and quiet_run >= 150:
+                break
 
         self.state = eng.init_state(model, self.cfg, jnp.float64)
         self.state = self.state._replace(

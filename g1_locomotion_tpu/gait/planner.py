@@ -125,10 +125,27 @@ def plan_horizon(
     c0 = 0.5 * v_cmd[0] * half
     ramp_x_gait = p_sx - c0 + v_cmd[0] * t_in_step
     # Outside the gait (pre-start, post-walk, n_steps = 0): hold the support
-    # centroid — static feet make this an absolute hold (standing/settle).
+    # centroid laterally; sagittally the anchor depends on the scenario:
+    #
+    # * PURE STANDING (n_steps = 0): the RAW contact centroid — the midpoint
+    #   of the CoP range, NOT the ankle (centroid - _HT_X_OFF). The G1 foot
+    #   is heavily asymmetric (heel -5 cm, toe +12 cm of the foot frame), so
+    #   an ankle-centered stand leaves only ~3 cm of backward CoP margin —
+    #   the re-centering maneuver toward it builds ~0.1 m/s that the heel
+    #   edge can only marginally brake, and under real unilateral contacts
+    #   (MuJoCo) the robot toppled backward at ~1.2 s, every round-1/2 gain
+    #   variant alike. The centroid target has symmetric +-8.5 cm margins.
+    # * WALK scenarios (pre-gait stand and post-walk settle): the ankle mean
+    #   (centroid - _HT_X_OFF), CONTINUOUS with the in-gait ramp anchor p_sx.
+    #   Switching the settle to the centroid injects a +3.5 cm step input at
+    #   gait end on top of the walking momentum — measured round 2, the
+    #   8-step walk's settle pitched over forward (internal plant).
     centroid = jnp.mean(cpos, axis=0)
+    stand_x = jnp.where(
+        gait.n_steps < 0.5, centroid[0], centroid[0] - _HT_X_OFF
+    )
     line_y = jnp.where(in_step, line_y_gait, centroid[1])
-    ramp_x = jnp.where(in_step, ramp_x_gait, centroid[0] - _HT_X_OFF)
+    ramp_x = jnp.where(in_step, ramp_x_gait, stand_x)
 
     # Lateral placement: DCM feedback vs the mirror-periodic orbit.
     xi_rel = (x0[4] + (x0[10] - v_cmd[1]) / omega0) - line_y

@@ -38,10 +38,8 @@ def test_standing_rollout_stable(g1, standing_engine):
     assert np.isfinite(tau).all()
     # The engine drives the CoM from the FK-standing height (0.628) toward the
     # MPC height target (cfg.com_height=0.598) and re-centers it over the
-    # stance ankle (the planner's standing anchor is the support centroid
-    # minus the heel/toe asymmetry offset, gait/planner.py — the natural
-    # q_init CoM starts ~15 mm ahead of it).
-    from g1_locomotion_tpu.gait.planner import _HT_X_OFF
+    # support centroid (the CoP-range midpoint — max sagittal margin; the
+    # natural q_init CoM starts ~18 mm behind it, gait/planner.py).
     from g1_locomotion_tpu.models import robot as rb
     from g1_locomotion_tpu.wbid.stack import StackIndices
 
@@ -50,10 +48,10 @@ def test_standing_rollout_stable(g1, standing_engine):
     cpos = np.stack(
         [np.asarray(rb.frame_pose(g1, X, f).p) for f in idx.contacts]
     )
-    x_anchor = cpos[:, 0].mean() - _HT_X_OFF
+    x_anchor = cpos[:, 0].mean()
     assert abs(com[-1, 2] - cfg.com_height) < 8e-3, com[-1]
     # Re-centering is slow (~0.04 m/s approach): at 1.0 s the CoM is within
-    # 8 mm of the anchor, from 32 mm ahead at q_init.
+    # 8 mm of the anchor.
     assert abs(com[-1, 0] - x_anchor) < 8e-3, (com[-1, 0], x_anchor)
     assert abs(com[-1, 1] - com[0, 1]) < 5e-3
     # Base stays upright.

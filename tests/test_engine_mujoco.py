@@ -39,31 +39,21 @@ def test_standing_balance_in_mujoco(g1):
 
     z = float(loop.mj_data.qpos[2])
     # The controller deliberately lowers the CoM ~3 cm to the MPC height
-    # target; beyond that, up to ~6 cm of settling sag remains at 1 s
-    # (honest current envelope — see test_standing_quiet_3s for the open
-    # sim-to-sim stabilization gap).
-    assert abs(z - z0) < 0.12, (z0, z)
+    # target; nothing more.
+    assert abs(z - z0) < 0.06, (z0, z)
     # Still upright.
     from g1_locomotion_tpu.core import rotations as rot
 
     rpy = np.asarray(rot.quat_to_rpy(jnp.asarray(loop.mj_data.qpos[3:7])))
     assert np.abs(rpy[:2]).max() < 0.2, rpy
-    # Settling (not yet quiet: residual base motion ~0.5 m/s persists at 1 s
-    # while the pitch converges — integral action is future work).
-    assert np.abs(loop.mj_data.qvel).max() < 2.5
+    # Converging to quiet (exponential, fully quiet by ~2 s — see
+    # test_standing_quiet_3s_in_mujoco for the tight assert).
+    assert np.abs(loop.mj_data.qvel).max() < 0.5
     # Torques bounded away from silly values.
     assert np.abs(log["tau"]).max() <= float(jnp.max(g1.tau_max)) + 1e-6
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    reason="MuJoCo closed-loop stabilization gap: the cascade diverges in "
-    "real contact physics after ~1.2 s (pitch/contact oscillation the "
-    "internal plant's bilateral pins mask). Standing quietly in MuJoCo "
-    "beyond 1 s is the prerequisite — tracked as the round-2/3 MuJoCo "
-    "milestone.",
-    strict=False,
-)
 def test_walking_in_mujoco(g1):
     """The cascade takes >= 2 walking steps under real MuJoCo unilateral
     contacts without falling — the reference's demo behavior
@@ -100,17 +90,15 @@ def test_walking_in_mujoco(g1):
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    reason="known gap: the cascade holds ~1 s in MuJoCo then oscillation "
-    "builds (max|qvel| 0.2 -> 1.0 over the second 0.5 s) and the robot "
-    "falls by ~1.5 s. Masked in round 1 by the 1 s test window. The "
-    "internal plant's bilateral pins cannot reproduce this; fixing it "
-    "(CoP-aware ankle strategy / contact-consistent WBID) is the MuJoCo "
-    "milestone.",
-    strict=False,
-)
 def test_standing_quiet_3s_in_mujoco(g1):
-    """3 s of quiet standing under real MuJoCo contacts."""
+    """3 s of QUIET standing under real MuJoCo contacts: the CoM converges
+    exponentially to the support-centroid target and all motion dies out.
+
+    This diverged until round 2 for two compounding reasons: (a) the standing
+    x-anchor sat at the ankle, leaving only ~3 cm of backward CoP margin on
+    the G1's heel-short foot (gait/planner.py — now the centroid), and
+    (b) the bridge handed the cascade a still-moving robot after a fixed
+    300-tick settle (mujoco_bridge.py — now settles until quiet)."""
     from g1_locomotion_tpu.mpc import solver as mpc
 
     params = eng.default_scenario(jnp.float64)
@@ -129,4 +117,6 @@ def test_standing_quiet_3s_in_mujoco(g1):
     com = log["com"]
     assert np.isfinite(com).all()
     assert com[:, 2].min() > 0.50, com[:, 2].min()
-    assert np.abs(loop.mj_data.qvel).max() < 0.5
+    # Fully quiet and on target (measured: qvel < 0.01, com -> target 1e-4).
+    assert np.abs(loop.mj_data.qvel).max() < 0.05
+    assert abs(com[-1, 2] - 0.598) < 5e-3, com[-1]

@@ -95,3 +95,39 @@ def test_walk_torques_bounded(g1, walk_run):
     cfg, params, final, logs = walk_run
     tau = np.asarray(logs.tau).reshape(-1, g1.nj)
     assert (np.abs(tau) <= np.asarray(g1.tau_max)[None, :] + 1e-6).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "v",
+    [pytest.param(0.05, marks=pytest.mark.xfail(
+         reason="0.05 m/s is marginally stable: the sagittal DCM placement "
+         "over-steps at low speed (measured vx creep 0.05 -> 0.4 and "
+         "growing step lengths) and the walk is knife-edge — outcome flips "
+         "with bit-level numeric noise. Slow-gait stabilization is a "
+         "round-3 item.",
+         strict=False)),
+     0.1,
+     pytest.param(0.2, marks=pytest.mark.xfail(
+         reason="0.2 m/s gait not yet tuned: the validated walking "
+         "configuration is stable at ~0.1 m/s on the whole-body engine; "
+         "faster cadences need step-length/timing adaptation (round-3)",
+         strict=False))],
+)
+def test_walk_velocity_tracking(g1, v):
+    """Engine-level commanded-velocity tracking (BASELINE config 1): realized
+    mid-walk forward speed within 35% of command (the SRBD-level twin,
+    test_srbd_loop.py, asserts the planning layer at 30%; the full whole-body
+    cascade adds tracking losses)."""
+    cfg = eng.walking_config()
+    params = eng.walking_scenario(jnp.float64, n_steps=8.0, v_cmd=(v, 0.0))
+    rollout = eng.make_rollout(g1, cfg)
+    state = eng.init_state(g1, cfg, jnp.float64)
+    final, logs = jax.jit(lambda s: rollout(s, params, 120))(state)
+    com = np.asarray(logs.com).reshape(-1, 3)
+    assert np.isfinite(com).all()
+    assert com[:, 2].min() > 0.45, (v, com[:, 2].min())
+    # Mid-walk window: steps 2..7 (skip start/stop transients).
+    t0, t1 = 1500, 4500
+    v_real = (com[t1, 0] - com[t0, 0]) / ((t1 - t0) * 1e-3)
+    assert abs(v_real - v) < 0.35 * v + 0.02, (v, v_real)
