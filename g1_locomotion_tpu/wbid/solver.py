@@ -24,6 +24,11 @@ class WBIDConfig(NamedTuple):
     qp: qplib.QPConfig = qplib.QPConfig(
         iters=50, scaling_iters=3, rho=0.1, rho_segments=2
     )
+    # OpenSoT-style strict priority levels (the ``/`` operator) instead of
+    # the reference's single weighted sum (wbid.py:167-182): feet / motion /
+    # posture solved as a lexicographic cascade (wbid/ihqp.py). ~3x the QP
+    # cost; the production engine keeps the weighted sum.
+    strict_hierarchy: bool = False
 
 
 class WBIDSolution(NamedTuple):
@@ -45,6 +50,10 @@ def solve(
     refs: WBIDReferences,
     body_X=None,
 ) -> WBIDSolution:
+    if cfg.strict_hierarchy:
+        from g1_locomotion_tpu.wbid.ihqp import solve_ihqp
+
+        return solve_ihqp(model, idx, cfg, gains, q, v, refs, body_X=body_X)
     H, g, C, l, u, (M, h, Jc_T) = build_qp(
         model, idx, gains, q, v, refs, cfg.dt, body_X=body_X
     )

@@ -201,11 +201,18 @@ def build_qp(
     refs: WBIDReferences,
     dt: float,
     body_X=None,
+    with_blocks: bool = False,
 ):
     """Assemble (H, g, C, l, u) for the WBID QP, plus cached dynamics terms.
 
     body_X: optionally pass precomputed FK for q (the engine tick computes it
-    anyway — avoids re-deriving the full tree)."""
+    anyway — avoids re-deriving the full tree).
+
+    with_blocks=True additionally returns the raw task blocks
+    ``(A_all, b_all, w_all, levels)`` for the strict-hierarchy iHQP solver
+    (wbid/ihqp.py) — ``levels`` is a static per-row priority tag
+    (0 = feet/contacts, 1 = CoM/base/momentum/wrench, 2 = posture/
+    regularization), the OpenSoT ``/`` convention."""
     dtype = q.dtype
     nv = model.nv
     nx = nv + NX_F
@@ -227,11 +234,13 @@ def build_qp(
     A_blocks = []
     b_blocks = []
     w_blocks = []
+    lvl_blocks = []
 
-    def add(A, b, w):
+    def add(A, b, w, level=1):
         A_blocks.append(A)
         b_blocks.append(b)
         w_blocks.append(jnp.broadcast_to(w, (A.shape[0],)).astype(dtype))
+        lvl_blocks.append([level] * A.shape[0])
 
     zeros_f = jnp.zeros((3, NX_F), dtype)
 
@@ -288,6 +297,7 @@ def build_qp(
             jnp.concatenate([sel, jnp.zeros((n_post, NX_F), dtype)], axis=1),
             a_des_post[jnp.asarray(post_idx)],
             gains.w_posture,
+            level=2,
         )
 
     # --- qddot regularization (wbid.py:152,167) ---
@@ -295,6 +305,7 @@ def build_qp(
         jnp.concatenate([jnp.eye(nv, dtype=dtype), jnp.zeros((nv, NX_F), dtype)], axis=1),
         jnp.zeros(nv, dtype),
         gains.w_qddot_reg,
+        level=2,
     )
 
     # --- Angular momentum task (wbid.py:136-142,168) ---
@@ -316,7 +327,7 @@ def build_qp(
     # --- Torque minimization (wbid.py:149,170): tau = (M qdd + h - Jc^T f)[6:] ---
     Jc_T = jnp.concatenate([Jc[i].T for i in range(NF)], axis=1)  # (nv, 12)
     A_tau = jnp.concatenate([M[6:], -Jc_T[6:]], axis=1)
-    add(A_tau, -h[6:], gains.w_tau_reg)
+    add(A_tau, -h[6:], gains.w_tau_reg, level=2)
 
     # --- Contact (stance) + swing tasks per foot (wbid.py:78-115,174-176) ---
     for s in range(2):
@@ -337,6 +348,7 @@ def build_qp(
             jnp.concatenate([Jf, jnp.zeros((6, NX_F), dtype)], axis=1),
             a_des6 - drift,
             gains.w_contact * active,
+            level=0,
         )
 
         # Swing: track the swing trajectory (full 6D gains; xy vel ff zeroed by
@@ -354,6 +366,7 @@ def build_qp(
             jnp.concatenate([Jf, jnp.zeros((6, NX_F), dtype)], axis=1),
             a_des6_sw - drift,
             gains.w_swing * (1.0 - active),
+            level=0,
         )
 
     # --- Wrench tracking to MPC forces (wbid.py:179-182,296-297) ---
@@ -502,4 +515,9 @@ def build_qp(
     l = jnp.concatenate(l_rows)
     u = jnp.concatenate(u_rows)
 
+    if with_blocks:
+        import numpy as _np
+
+        levels = _np.asarray(sum(lvl_blocks, []), dtype=_np.int32)
+        return H, g, C, l, u, (M, h, Jc_T), (A_all, b_all, w_all, levels)
     return H, g, C, l, u, (M, h, Jc_T)
