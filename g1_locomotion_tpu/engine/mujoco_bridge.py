@@ -131,10 +131,49 @@ class MujocoLoop:
         v[:3] = R.T @ qv[:3]  # world -> base-local linear velocity
         return v
 
-    def run(self, n_ticks: int):
-        """Run the cascade against MuJoCo for n_ticks ms. Returns log dict."""
+    def foot_normal_forces(self) -> np.ndarray:
+        """(2,) summed ground-contact normal force per foot (L, R) —
+        MuJoCo's truth, the bridge's contact sensor."""
+        mujoco = self._mujoco
+        f = np.zeros(2)
+        f6 = np.zeros(6)
+        for ci in range(self.mj_data.ncon):
+            c = self.mj_data.contact[ci]
+            mujoco.mj_contactForce(self.mj_model, self.mj_data, ci, f6)
+            bid = max(
+                self.mj_model.geom_bodyid[c.geom1],
+                self.mj_model.geom_bodyid[c.geom2],
+            )
+            name = (
+                mujoco.mj_id2name(self.mj_model, mujoco.mjtObj.mjOBJ_BODY, bid)
+                or ""
+            )
+            if "left" in name:
+                f[0] += f6[0]
+            elif "right" in name:
+                f[1] += f6[0]
+        return f
+
+    def run(self, n_ticks: int, touchdown_sync: bool = False):
+        """Run the cascade against MuJoCo for n_ticks ms. Returns log dict.
+
+        touchdown_sync (experimental, default OFF): contact-sensed phase
+        sync — at the end of a swing (progress > 0.98), hold the gait clock
+        until the swing foot's measured ground reaction appears (capped at
+        250 ms). Motivation: under real unilateral contacts the schedule's
+        touchdown and the physical one drift apart, and switching stance
+        tasks on an airborne foot injects step-timing error. Measured
+        round 2: holding with FROZEN references destabilizes more than the
+        timing error it removes (the validated 2-step walk falls with it
+        on) — the same frozen-reference problem as the engine's DS gate.
+        A correct version must hold against the touchdown-TARGET reference;
+        kept as an option for that round-3 work.
+        """
+        from g1_locomotion_tpu.gait import schedule as gs
+
         mujoco = self._mujoco
         log = {"com": [], "tau": [], "fz": []}
+        hold_budget = 0
         for t in range(n_ticks):
             # Sync measured state into the engine.
             self.state = self.state._replace(
@@ -154,8 +193,25 @@ class MujocoLoop:
                 self._wbid_jit, self.state, alpha
             )
             tau = np.asarray(ticklog.tau)
+            prev_clock = self.state.gait_clock
             # Carry controller state but keep the plant state from MuJoCo.
             self.state = new_state
+            if touchdown_sync:
+                _, in_swing, swing_is_left, progress = gs.phase_info(
+                    self.params.gait, self.state.gait_clock
+                )
+                if float(in_swing) > 0 and float(progress) > 0.98:
+                    foot = 0 if float(swing_is_left) > 0.5 else 1
+                    if hold_budget == 0:
+                        hold_budget = 250
+                    if (
+                        hold_budget > 1
+                        and self.foot_normal_forces()[foot] < 10.0
+                    ):
+                        self.state = self.state._replace(gait_clock=prev_clock)
+                        hold_budget -= 1
+                else:
+                    hold_budget = 0
             self.mj_data.ctrl[:] = np.clip(
                 tau, -np.asarray(self.model.tau_max), np.asarray(self.model.tau_max)
             )
