@@ -78,6 +78,29 @@ def reference_parity_params(dtype=jnp.float32) -> SRBDParams:
     )
 
 
+def params_from_model(model, q) -> SRBDParams:
+    """SRBD parameters derived from a whole-body model at configuration q:
+    total mass + composite inertia about the whole-body CoM. This is how
+    ``G1_COMPOSITE_INERTIA`` was obtained for g1_23dof; other variants
+    (29-DoF: +1 kg, different mass distribution) must derive their own —
+    the hardcoded 23-DoF constants destabilize their walking gaits."""
+    from g1_locomotion_tpu.models import robot as rb
+
+    X = rb.fk(model, q)
+    com_b = jnp.einsum("bij,bj->bi", X.R, model.com) + X.p
+    com = jnp.sum(model.mass[:, None] * com_b, axis=0) / model.total_mass
+    I_w = jnp.einsum("bij,bjk,blk->bil", X.R, model.inertia, X.R)
+    d = com_b - com[None, :]
+    d2 = jnp.sum(d * d, axis=1)
+    eye = jnp.eye(3, dtype=q.dtype)
+    shift = model.mass[:, None, None] * (
+        d2[:, None, None] * eye[None] - d[:, :, None] * d[:, None, :]
+    )
+    inertia = jnp.sum(I_w + shift, axis=0)
+    return SRBDParams(mass=model.total_mass.astype(q.dtype),
+                      inertia=inertia.astype(q.dtype))
+
+
 def continuous_matrices(
     params: SRBDParams,
     yaw: jnp.ndarray,

@@ -189,3 +189,19 @@ def test_mpc_vmap_batch():
     assert sols.u0.shape == (B, 12)
     fz = np.asarray(sols.u0[:, 2::3].sum(axis=1))
     np.testing.assert_allclose(fz, srbd.G1_MASS * 9.80665, rtol=3e-3)
+
+
+def test_params_from_model_matches_constants(g1):
+    """The model-derived SRBD params reproduce the hardcoded g1_23dof
+    composite constants (mass + whole-body inertia about the CoM at
+    q_init) — the constants were extracted exactly this way."""
+    from g1_locomotion_tpu.engine.state import q_init_standing
+    from g1_locomotion_tpu.models import srbd
+
+    q = q_init_standing(g1, jnp.float64)
+    p = srbd.params_from_model(g1, q)
+    np.testing.assert_allclose(float(p.mass), srbd.G1_MASS, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p.inertia), np.asarray(srbd.G1_COMPOSITE_INERTIA),
+        atol=2e-3,
+    )
