@@ -45,6 +45,16 @@ class MPCConfig(NamedTuple):
                                # the d x f torque bilinearity is linearized
                                # about the warm-start forces,
                                # srbd.landing_sensitivity)
+    roll_moment_max: float = 0.0  # if > 0: cap |sum_i (r_i x f_i)_x| per
+                               # knot [N.m] — the HARD version of the
+                               # roll-honest Q weights. Soft weights only
+                               # PRICE roll-channel lateral force, and when
+                               # the lateral velocity error grows the MPC
+                               # pays the price exactly when line-contact
+                               # feet cannot deliver the moment (measured
+                               # round 2 in MuJoCo: torso roll ratchets
+                               # +0.26 rad/step until capsize). Pitch stays
+                               # unbounded: the heel-toe lever is real.
     w_d: float = 300.0         # quadratic penalty on the landing offset
     d_scale: float = 1e-3      # QP works in d_hat = d/d_scale (millimeters):
                                # raw meter units give the d block an H-diagonal
@@ -304,6 +314,35 @@ def build_qp(
         A_con = jnp.concatenate([A_con, box], axis=0)
         l = jnp.concatenate([l, jnp.full((2,), -cfg.d_box / cfg.d_scale, dtype)])
         u = jnp.concatenate([u, jnp.full((2,), cfg.d_box / cfg.d_scale, dtype)])
+
+    if cfg.roll_moment_max > 0.0:
+        # Roll-moment cap: |sum_i (r_ik x f_ik)_x| <= roll_moment_max per
+        # knot. (r x f)_x = r_y f_z - r_z f_y, so the row touches knot k's
+        # force vars with coefficients (0, -r_z, r_y) per contact; r from
+        # the first step of each knot (exact at move_block = 1).
+        step_of_knot = [min(k * mb, N - 1) for k in range(K_knots)]
+        r_knot = r_hor[jnp.asarray(step_of_knot)]  # (K, NC, 3)
+        m_rows = []
+        for k in range(K_knots):
+            row = jnp.zeros((K_knots, NC, 3), dtype)
+            row = row.at[k, :, 1].set(-r_knot[k, :, 2])
+            row = row.at[k, :, 2].set(r_knot[k, :, 1])
+            m_rows.append(row.reshape(-1))
+        M_rows = jnp.stack(m_rows)  # (K, K*NU)
+        if E_qp is not None:
+            # d_y shifts the landing contacts' lever: d(M_x)/d(d_y) =
+            # sum(landing fz) linearized at the warm-start forces (d_z = 0;
+            # scaled like the d columns).
+            fz_land = jnp.einsum("nc,nc->n", landing_mask, f_nom[..., 2])
+            dcol = jnp.zeros((K_knots, 2), dtype)
+            dcol = dcol.at[:, 1].set(
+                fz_land[jnp.asarray(step_of_knot)] * cfg.d_scale
+            )
+            M_rows = jnp.concatenate([M_rows, dcol], axis=1)
+        A_con = jnp.concatenate([A_con, M_rows], axis=0)
+        cap = jnp.full((K_knots,), cfg.roll_moment_max, dtype)
+        l = jnp.concatenate([l, -cap])
+        u = jnp.concatenate([u, cap])
 
     return H, g, A_con, l, u, A_qp, B_qp, Ad, Bd, Ed
 

@@ -205,3 +205,41 @@ def test_params_from_model_matches_constants(g1):
         np.asarray(p.inertia), np.asarray(srbd.G1_COMPOSITE_INERTIA),
         atol=2e-3,
     )
+
+
+def test_roll_moment_cap_binds():
+    """roll_moment_max adds hard |sum (r x f)_x| rows: with the cap on, the
+    planned roll moment respects the bound; with it off, a laterally-offset
+    reference demands more. (Off by default: the cap also bounds the
+    legitimate double-support weight-transfer moment ~ mg * foot-spacing
+    ~ 33 N.m, which breaks the walking gait — its role is analysis /
+    single-support studies until the reference-relative form lands.)"""
+    dtype = jnp.float64
+    params = srbd.default_params(dtype)
+    N = 6
+    com = jnp.array([0.0, 0.0, 0.6], dtype)
+    feet = jnp.array(
+        [[-0.05, 0.12, 0.0], [0.12, 0.12, 0.0],
+         [-0.05, -0.12, 0.0], [0.12, -0.12, 0.0]], dtype)
+    x0 = jnp.zeros(13, dtype).at[3:6].set(com).at[12].set(srbd.GRAVITY)
+    # Reference displaced 0.3 m laterally: a violent lateral force demand.
+    x_ref = jnp.tile(x0[None], (N, 1)).at[:, 4].add(0.3)
+    contact = jnp.ones((N, 4), dtype)
+    c_hor = jnp.tile(feet[None], (N, 1, 1))
+    p_hor = jnp.tile(com[None], (N, 1))
+    w = mpc.default_weights(dtype)
+
+    def max_roll_moment(cfg):
+        sol = mpc.solve(cfg, w, params, x0, x_ref, contact, c_hor, p_hor)
+        r = c_hor[0] - com[None, :]
+        M = jnp.einsum("kcd->kd", jnp.cross(
+            jnp.tile(r[None], (N, 1, 1)), sol.U.reshape(N, 4, 3)))
+        return float(jnp.abs(M[:, 0]).max())
+
+    m_free = max_roll_moment(mpc.MPCConfig(horizon=N))
+    m_capped = max_roll_moment(
+        mpc.MPCConfig(horizon=N, roll_moment_max=5.0,
+                      qp=mpc.MPCConfig().qp._replace(iters=120))
+    )
+    assert m_free > 10.0, m_free
+    assert m_capped < 5.5, m_capped
