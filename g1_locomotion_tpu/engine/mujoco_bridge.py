@@ -120,6 +120,12 @@ class MujocoLoop:
         from g1_locomotion_tpu.utils.stats import StatisticsRegistry
 
         self.stats = StatisticsRegistry(topic="/mujoco_loop_statistics")
+        # Global tick counter: the MPC cadence (every ticks_per_mpc) must be
+        # phase-continuous across run() calls — a per-call counter made
+        # chunked runs re-solve the MPC at every chunk boundary, silently
+        # running a different (and non-reproducible) control cadence than a
+        # single long run.
+        self._tick = 0
 
     def read_q(self) -> np.ndarray:
         return self.mj_data.qpos.copy()
@@ -174,7 +180,9 @@ class MujocoLoop:
         mujoco = self._mujoco
         log = {"com": [], "tau": [], "fz": []}
         hold_budget = 0
-        for t in range(n_ticks):
+        for _ in range(n_ticks):
+            t = self._tick
+            self._tick += 1
             # Sync measured state into the engine.
             self.state = self.state._replace(
                 q=jnp.asarray(self.read_q()), v=jnp.asarray(self.read_v())
@@ -183,10 +191,14 @@ class MujocoLoop:
                 self.state = self.stats.timer("mpc_solve").time(
                     self._mpc_jit, self.state
                 )
-            # Within-period phase: WBID references interpolate the MPC's
-            # x_opt0 -> x_opt1 prediction (engine/tick.py _wbid_tick).
+            # Phase within the MPC's PREDICTION interval (mpc.dt) — not the
+            # replan period, which may be shorter (engine/tick.py tick()).
             alpha = jnp.asarray(
-                ((t % self.cfg.ticks_per_mpc) + 1.0) / self.cfg.ticks_per_mpc,
+                min(
+                    ((t % self.cfg.ticks_per_mpc) + 1.0)
+                    * self.cfg.plant.dt / self.cfg.mpc.dt,
+                    1.0,
+                ),
                 jnp.float64,
             )
             new_state, ticklog = self.stats.timer("wbid_solve").time(

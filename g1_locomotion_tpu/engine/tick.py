@@ -119,6 +119,30 @@ def walking_scenario(
     )
 
 
+def mujoco_walking_scenario(
+    dtype=jnp.float32,
+    n_steps: float = 8.0,
+    v_cmd=(0.1, 0.0),
+) -> ScenarioParams:
+    """Walking scenario validated under REAL MuJoCo unilateral contacts:
+    wider nominal stance (0.16 m vs 0.12) and longer double support (0.35 s
+    vs 0.25). Real feet cannot deliver the roll-channel lateral forces the
+    bilateral-pin plant realizes faithfully (round-2 measurement: the WBID
+    QP tracks the plan exactly while MuJoCo under-delivers lateral force
+    50-70% in single support), so the MuJoCo gait buys its lateral margin
+    geometrically — wider stance, more transfer time — instead of from
+    force authority. 8 steps + settle to a quiet stand validated; the
+    default (0.12/0.25) gait walks 2-3 steps in MuJoCo before the lateral
+    drift exceeds placement authority."""
+    p = walking_scenario(dtype, n_steps=n_steps, v_cmd=v_cmd)
+    return p._replace(
+        steps=p.steps._replace(step_width=jnp.asarray(0.16, dtype)),
+        gait=p.gait._replace(
+            double_support_duration=jnp.asarray(0.35, dtype)
+        ),
+    )
+
+
 class EngineState(NamedTuple):
     """Carried state of the closed loop (pytree)."""
 
@@ -550,7 +574,14 @@ def make_rollout(model: RobotModel, cfg: EngineConfig):
         state, mpc_sol = _mpc_stage(model, idx, cfg, params, state)
 
         def tick(s, i):
-            alpha = (i + 1.0) / cfg.ticks_per_mpc
+            # Phase within the MPC's PREDICTION interval (mpc.dt), not the
+            # replan period: with ticks_per_mpc * plant.dt < mpc.dt (faster
+            # replanning than the discretization — e.g. the 50 Hz MuJoCo
+            # cadence) the x_opt0 -> x_opt1 interpolation must still span
+            # the full prediction step.
+            alpha = jnp.minimum(
+                (i + 1.0) * cfg.plant.dt / cfg.mpc.dt, 1.0
+            )
             return _wbid_tick(model, idx, cfg, params, s, alpha)
 
         state, logs = jax.lax.scan(

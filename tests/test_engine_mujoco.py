@@ -55,38 +55,48 @@ def test_standing_balance_in_mujoco(g1):
 
 @pytest.mark.slow
 def test_walking_in_mujoco(g1):
-    """The cascade takes >= 2 walking steps under real MuJoCo unilateral
-    contacts without falling — the reference's demo behavior
-    (ros_run_simulation.py:341-519, README.md:118-124).
+    """The cascade walks 6 FULL STEPS under real MuJoCo unilateral contacts
+    and settles to a quiet stand — 3x the reference's demo ("a few walking
+    steps and then stops", ros_run_simulation.py:341-519, README.md:118-124;
+    2-3 steps).
 
-    Uses the round-2 validated walking configuration (roll-honest MPC,
-    net-contact-force WBID task, receding swing reference)."""
+    Uses mujoco_walking_scenario: real feet cannot deliver the roll-channel
+    lateral forces the internal plant's bilateral pins realize, so the
+    MuJoCo gait buys lateral margin geometrically (wider stance, longer
+    double support) — see the scenario docstring. 6 steps is the honest
+    robust frontier at the standard 25 Hz replan cadence: 8 steps is past
+    the slow-drift edge, and 50 Hz replanning measurably destabilizes
+    (round-2 frontier map)."""
     cfg = eng.walking_config()
-    params = eng.walking_scenario(jnp.float64, n_steps=2.0, v_cmd=(0.1, 0.0))
+    params = eng.mujoco_walking_scenario(
+        jnp.float64, n_steps=6.0, v_cmd=(0.1, 0.0)
+    )
     loop = MujocoLoop(g1, cfg=cfg, params=params)
-    # 0.5 s stand + 2 steps x 0.5 s + 0.7 s settle.
-    log = loop.run(2700)
+    # 0.5 s stand + 6 steps x 0.6 s + 1.5 s settle.
+    log = loop.run(5600)
 
     com = log["com"]
     assert np.isfinite(com).all()
     # Never falls: CoM height stays in a walking band.
-    assert com[:, 2].min() > 0.40, com[:, 2].min()
-    z = float(loop.mj_data.qpos[2])
-    assert z > 0.55, z
+    assert com[:, 2].min() > 0.42, com[:, 2].min()
+    # Ends in a quiet stand at the height target.
+    assert abs(com[-1, 2] - 0.598) < 0.02, com[-1]
+    assert np.abs(loop.mj_data.qvel).max() < 0.3
     # Upright at the end.
     from g1_locomotion_tpu.core import rotations as rot
 
     rpy = np.asarray(rot.quat_to_rpy(jnp.asarray(loop.mj_data.qpos[3:7])))
-    assert np.abs(rpy[:2]).max() < 0.3, rpy
-    # Both feet actually advanced (steps happened).
+    assert np.abs(rpy[:2]).max() < 0.1, rpy
+    # Walked: both feet advanced ~ v * gait time.
     from g1_locomotion_tpu.models import robot as rb
     from g1_locomotion_tpu.wbid.stack import StackIndices
 
     idx = StackIndices.from_model(g1)
     X = rb.fk(g1, jnp.asarray(loop.mj_data.qpos))
     feet_x = [float(rb.frame_pose(g1, X, f).p[0]) for f in idx.feet]
-    assert feet_x[0] > 0.05, feet_x
-    assert feet_x[1] > 0.05, feet_x
+    assert feet_x[0] > 0.25, feet_x
+    assert feet_x[1] > 0.25, feet_x
+    assert com[-1, 0] - com[0, 0] > 0.28, (com[0, 0], com[-1, 0])
 
 
 @pytest.mark.slow
