@@ -130,3 +130,35 @@ def test_standing_quiet_3s_in_mujoco(g1):
     # Fully quiet and on target (measured: qvel < 0.01, com -> target 1e-4).
     assert np.abs(loop.mj_data.qvel).max() < 0.05
     assert abs(com[-1, 2] - 0.598) < 5e-3, com[-1]
+
+
+@pytest.mark.slow
+def test_push_recovery_in_mujoco(g1):
+    """A (0.15, 0.10) m/s base-velocity push while standing is absorbed
+    without stepping under real MuJoCo contacts — the robot returns to a
+    quiet stand (config 2 under honest physics; the internal plant's
+    bilateral pins admit a larger (0.25, 0.15) envelope, and (0.20, 0.12)
+    fails here — the unilateral no-stepping envelope is genuinely smaller)."""
+    from g1_locomotion_tpu.mpc import solver as mpc
+
+    params = eng.default_scenario(jnp.float64)
+    Q_stand = jnp.asarray(
+        [40.0, 40.0, 50.0, 200.0, 200.0, 500.0, 0.5, 0.5, 0.5,
+         10.0, 10.0, 10.0, 0.0], jnp.float64,
+    )
+    params = params._replace(
+        gait=params.gait._replace(n_steps=jnp.asarray(0.0, jnp.float64)),
+        mpc_weights=mpc.MPCWeights(
+            Q=Q_stand, R=jnp.full((12,), 1e-5, jnp.float64)
+        ),
+    )
+    loop = MujocoLoop(g1, params=params)
+    loop.run(1000)  # settle the cascade
+    loop.mj_data.qvel[0] += 0.15
+    loop.mj_data.qvel[1] += 0.10
+    log = loop.run(2500)
+    com = log["com"]
+    assert np.isfinite(com).all()
+    assert com[:, 2].min() > 0.5, com[:, 2].min()
+    assert np.abs(loop.mj_data.qvel).max() < 0.3
+    assert abs(com[-1, 2] - 0.598) < 0.01, com[-1]
