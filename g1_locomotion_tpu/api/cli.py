@@ -15,11 +15,18 @@ def main(argv=None) -> None:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     w = sub.add_parser("walking", help="config 1: straight-line walking demo")
-    w.add_argument("--seconds", type=float, default=2.5)
+    w.add_argument("--seconds", type=float, default=6.5)
     w.add_argument("--vx", type=float, default=0.1)
-    w.add_argument("--steps", type=int, default=2)
+    w.add_argument("--steps", type=int, default=8)
     w.add_argument("--log", type=str, default=None)
     w.add_argument("--plot", type=str, default=None)
+
+    wm = sub.add_parser(
+        "walking-mujoco",
+        help="config 1 under real MuJoCo contacts (6 steps + settle)",
+    )
+    wm.add_argument("--steps", type=int, default=6)
+    wm.add_argument("--vx", type=float, default=0.1)
 
     pr = sub.add_parser("push-recovery", help="config 2: N=20 push recovery")
     pr.add_argument("--push-x", type=float, default=0.25)
@@ -54,6 +61,10 @@ def main(argv=None) -> None:
         out = demos.demo_walking(
             seconds=args.seconds, v_cmd=(args.vx, 0.0), n_steps=args.steps,
             log_path=args.log, plot_path=args.plot, **kw,
+        )
+    elif args.cmd == "walking-mujoco":
+        out = demos.demo_walking_mujoco(
+            n_steps=args.steps, v_cmd=(args.vx, 0.0)
         )
     elif args.cmd == "push-recovery":
         out = demos.demo_push_recovery(

@@ -69,6 +69,41 @@ def demo_walking(
     return result
 
 
+def demo_walking_mujoco(
+    n_steps: int = 6,
+    v_cmd=(0.1, 0.0),
+):
+    """Config 1 under REAL MuJoCo unilateral contacts: the validated 6-step
+    walk + settle to quiet standing (3x the reference demo's 2-3 steps).
+    Always float64 (the MuJoCo oracle runs host-side on CPU)."""
+    import jax.numpy as jnp
+
+    from g1_locomotion_tpu.engine.mujoco_bridge import MujocoLoop
+    from g1_locomotion_tpu.models.robot import load_robot as _load
+
+    model = _load("g1_23dof", dtype=jnp.float64)
+    cfg = eng.walking_config()
+    params = eng.mujoco_walking_scenario(
+        jnp.float64, n_steps=float(n_steps), v_cmd=v_cmd
+    )
+    loop = MujocoLoop(model, cfg=cfg, params=params)
+    t0 = time.time()
+    total = int((0.5 + n_steps * 0.6 + 1.5) * 1000)
+    log = loop.run(total)
+    com = log["com"]
+    return {
+        "config": "walking_mujoco",
+        "n_steps": n_steps,
+        "sim_seconds": total / 1000.0,
+        "wall_seconds": time.time() - t0,
+        "final_com": com[-1].tolist(),
+        "com_x_travel": float(com[-1, 0] - com[0, 0]),
+        "final_qvel_max": float(np.abs(loop.mj_data.qvel).max()),
+        "fell": bool(com[:, 2].min() < 0.42),
+        "solve_stats": loop.stats.export(),
+    }
+
+
 def demo_push_recovery(
     push_velocity=(0.25, 0.15),
     horizon: int = 20,
