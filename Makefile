@@ -16,6 +16,19 @@ test:
 test-all:
 	$(PY) -m pytest tests/ -q
 
+# Full suite split into two roughly-equal halves run in parallel (the full
+# serial suite is ~9 min on this host; the halves fit a 10-min CI window).
+HALF_A = tests/test_engine.py tests/test_engine_walking.py \
+         tests/test_engine_mujoco.py tests/test_golden.py \
+         tests/test_srbd_loop.py
+test-par:
+	@$(PY) -m pytest $(HALF_A) -q > /tmp/pytest_half_a.log 2>&1 & \
+	pid=$$!; \
+	$(PY) -m pytest tests/ -q $(foreach f,$(HALF_A),--ignore=$(f)); rc=$$?; \
+	wait $$pid; rc2=$$?; \
+	echo "--- half A ---"; tail -3 /tmp/pytest_half_a.log; \
+	exit $$(( rc + rc2 ))
+
 bench:
 	$(PY) bench.py
 

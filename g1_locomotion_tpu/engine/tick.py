@@ -533,10 +533,29 @@ def _wbid_tick(
     z_ok = (com_now[2] > cfg.com_height - params.gait.gate_z_tol) & (
         com_vel_now[2] > -params.gait.gate_vz_tol
     )
-    clock_rate = jnp.where(
-        (in_ds_tail & ~gate_ok) | (in_ds_end & ~z_ok), 0.0, 1.0
+    # Step-TIMING adaptation (gait.timing_gain > 0): during the swing, once
+    # the lateral DCM predicted at the nominal touchdown (through the step's
+    # remaining ZMP profile) deviates from the periodic orbit by more than
+    # timing_tol, run the gait clock FASTER. Touchdown then happens early:
+    # LIPM error grows as e^{omega0 t}, so every shaved Dt caps the error the
+    # capture step must absorb. Placement (DCM-scaled footholds, authority
+    # bounded by clip_landing_y) and timing are the two complementary
+    # capturability levers — the round-2 MuJoCo frontier failure was exactly
+    # a fixed-timing swing watching the error outgrow placement authority.
+    in_ss_t = in_gait & (t_in_step >= ds)
+    swing_left_t = jnp.mod(jnp.maximum(step_f, 0.0), 2.0) < 0.5
+    y_stance_t = jnp.where(swing_left_t, feet_now[1, 1], feet_now[0, 1])
+    line_y_t = y_stance_t + jnp.where(swing_left_t, W_g, -W_g)
+    speedup = gs.timing_clock_rate(
+        params.gait, omega0_g, W_g, xi_meas - line_y_t, t_in_step,
+        swing_left_t,
     )
-    gate_hold = 1.0 - clock_rate
+    clock_rate = jnp.where(
+        (in_ds_tail & ~gate_ok) | (in_ds_end & ~z_ok),
+        0.0,
+        jnp.where(in_ss_t, speedup, 1.0),
+    )
+    gate_hold = jnp.where(clock_rate < 0.5, 1.0, 0.0)
 
     log = TickLog(
         com=com_now,

@@ -137,12 +137,22 @@ def plan_horizon(
     #   variant alike. The centroid target has symmetric +-8.5 cm margins.
     # * WALK scenarios (pre-gait stand and post-walk settle): the ankle mean
     #   (centroid - _HT_X_OFF), CONTINUOUS with the in-gait ramp anchor p_sx.
-    #   Switching the settle to the centroid injects a +3.5 cm step input at
-    #   gait end on top of the walking momentum — measured round 2, the
-    #   8-step walk's settle pitched over forward (internal plant).
+    #   Switching the settle to the centroid as a step input at gait end
+    #   toppled the internal 8-step walk forward (round 2) — but PARKING at
+    #   the ankle mean leaves only ~3 cm of backward CoP margin on the
+    #   heel-short G1 foot, and the MuJoCo 8-step settle toppled BACKWARD
+    #   over the heels at ~0.8 s after the last touchdown (round-2b trace:
+    #   pitch -1.3 rad, CoM x receding 17 cm). Resolution: BLEND the settle
+    #   anchor from the ankle mean to the centroid over 1 s starting 0.5 s
+    #   after the last touchdown — gait-continuous at exit, full symmetric
+    #   CoP margin once the walking momentum has been absorbed.
     centroid = jnp.mean(cpos, axis=0)
+    tau_now = gait_clock - gait.start_time
+    s_blend = jnp.clip(tau_now - T_gait - 0.5, 0.0, 1.0)
     stand_x = jnp.where(
-        gait.n_steps < 0.5, centroid[0], centroid[0] - _HT_X_OFF
+        gait.n_steps < 0.5,
+        centroid[0],
+        centroid[0] - _HT_X_OFF + s_blend * _HT_X_OFF,
     )
     line_y = jnp.where(in_step, line_y_gait, centroid[1])
     ramp_x = jnp.where(in_step, ramp_x_gait, stand_x)

@@ -55,6 +55,18 @@ class GaitConfig(NamedTuple):
     swing_xy_rate_max: jnp.ndarray  # [m/s] cap on the receding swing-foot
                                     # xy reference speed (realizable-foothold
                                     # guard, engine/tick.py)
+    # Step-TIMING adaptation (Khadiv et al.-style "step earlier"): during the
+    # swing, once the lateral DCM predicted at the nominal touchdown deviates
+    # from the periodic orbit by more than timing_tol, the engine runs the
+    # gait clock FASTER (engine/tick.py) — touchdown happens early, capping
+    # the LIPM's e^{omega0 t} error growth before it exceeds what foot
+    # placement (clip_landing_y-bounded) can absorb. Placement and timing are
+    # the two complementary capturability levers; the reference has neither
+    # (fixed schedule), so this is additive capability, default OFF.
+    timing_gain: jnp.ndarray      # extra clock rate per m of excess DCM error
+                                  # (0 = disabled)
+    timing_tol: jnp.ndarray       # [m] touchdown-DCM error deadband
+    timing_rate_max: jnp.ndarray  # cap on the sped-up clock rate (>= 1)
 
 
 def default_gait(dtype=jnp.float32) -> GaitConfig:
@@ -69,6 +81,9 @@ def default_gait(dtype=jnp.float32) -> GaitConfig:
         gate_z_tol=jnp.asarray(0.06, dtype),
         gate_vz_tol=jnp.asarray(0.40, dtype),
         swing_xy_rate_max=jnp.asarray(1.8, dtype),
+        timing_gain=jnp.asarray(0.0, dtype),
+        timing_tol=jnp.asarray(0.05, dtype),
+        timing_rate_max=jnp.asarray(2.0, dtype),
     )
 
 
@@ -380,6 +395,33 @@ def predict_touchdown_dcm_x(
     p1_ss = p0_ss + pdot_ss * ss
     xi = (p1_ss + off_ss) + (xi - p_now_ss - off_ss) * jnp.exp(omega0 * t_ss_rem)
     return xi
+
+
+def timing_clock_rate(
+    cfg: GaitConfig,
+    omega0,
+    W,
+    xi_rel,        # measured centerline-relative lateral DCM
+    t_in_step,     # time into the current step
+    swing_is_left,
+):
+    """Step-TIMING adaptation: gait-clock rate multiplier during the swing.
+
+    Khadiv et al.-style "step earlier": propagate the measured DCM to the
+    nominal touchdown; once its deviation from the periodic orbit exceeds
+    ``timing_tol``, speed the clock up proportionally (capped at
+    ``timing_rate_max``). Early touchdown caps the LIPM's e^{omega0 t} error
+    growth before it exceeds what foot placement (clip_landing_y-bounded)
+    can absorb — placement and timing are the two complementary
+    capturability levers. ``timing_gain = 0`` disables (rate 1)."""
+    xi_pred = predict_touchdown_dcm(cfg, omega0, W, xi_rel, t_in_step, swing_is_left)
+    xi_nom = touchdown_dcm_nominal(cfg, omega0, W, swing_is_left)
+    err = jnp.abs(xi_pred - xi_nom)
+    return jnp.clip(
+        1.0 + cfg.timing_gain * jnp.maximum(err - cfg.timing_tol, 0.0),
+        1.0,
+        jnp.maximum(cfg.timing_rate_max, 1.0),
+    )
 
 
 def contact_horizon(

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from g1_locomotion_tpu.gait import footsteps, schedule, swing
 
@@ -251,3 +252,58 @@ def test_sagittal_orbit_reference_continuity():
     np.testing.assert_allclose(xo[:200], 0.0, atol=1e-12)  # standing before
     xo0, _ = schedule.sagittal_orbit_reference(cfg, t, w0, jnp.asarray(0.0))
     np.testing.assert_allclose(np.asarray(xo0), 0.0, atol=1e-12)
+
+
+def test_timing_clock_rate_on_orbit_is_unity():
+    """On the periodic orbit (or with timing_gain = 0) the step-timing
+    adaptation leaves the clock untouched."""
+    cfg = schedule.default_gait(jnp.float64)._replace(
+        timing_gain=jnp.asarray(8.0, jnp.float64),
+        timing_tol=jnp.asarray(0.04, jnp.float64),
+    )
+    w0 = jnp.asarray(np.sqrt(9.80665 / 0.598), jnp.float64)
+    W = jnp.asarray(0.12, jnp.float64)
+    for swing_left in (True, False):
+        sl = jnp.asarray(swing_left)
+        for t_in in (0.26, 0.35, 0.45):
+            # A DCM exactly on the orbit predicts the nominal touchdown DCM.
+            X0 = schedule.lateral_orbit_state(cfg, w0, W)
+            # Evaluate the orbit's own DCM at t_in (even-step frame).
+            X = schedule._orbit_eval(cfg, w0, W, X0, jnp.asarray(t_in))
+            xi = X[0] + X[1] / w0
+            # The even-step orbit IS the left-swing step (phase_info: even
+            # step -> left foot swings); mirror for the right-swing step.
+            xi = jnp.where(sl, xi, -xi)
+            rate = schedule.timing_clock_rate(
+                cfg, w0, W, xi, jnp.asarray(t_in, jnp.float64), sl
+            )
+            np.testing.assert_allclose(float(rate), 1.0, atol=1e-6)
+
+
+def test_timing_clock_rate_speeds_up_and_caps():
+    """A DCM error beyond the deadband speeds the clock, monotonically in
+    the error, capped at timing_rate_max; gain 0 disables."""
+    cfg = schedule.default_gait(jnp.float64)._replace(
+        timing_gain=jnp.asarray(8.0, jnp.float64),
+        timing_tol=jnp.asarray(0.03, jnp.float64),
+        timing_rate_max=jnp.asarray(1.7, jnp.float64),
+    )
+    w0 = jnp.asarray(np.sqrt(9.80665 / 0.598), jnp.float64)
+    W = jnp.asarray(0.12, jnp.float64)
+    sl = jnp.asarray(True)
+    t_in = jnp.asarray(0.30, jnp.float64)
+    X0 = schedule.lateral_orbit_state(cfg, w0, W)
+    X = schedule._orbit_eval(cfg, w0, W, X0, t_in)
+    xi_orbit = X[0] + X[1] / w0  # even step = left-swing frame
+    rates = [
+        float(schedule.timing_clock_rate(cfg, w0, W, xi_orbit + d, t_in, sl))
+        for d in (0.0, 0.02, 0.05, 0.30)
+    ]
+    assert rates[0] == pytest.approx(1.0, abs=1e-6)
+    assert rates[1] > 1.0  # small error already predicts past the deadband
+    assert rates[2] > rates[1]
+    assert rates[3] == pytest.approx(1.7, abs=1e-9)  # capped
+    cfg0 = cfg._replace(timing_gain=jnp.asarray(0.0, jnp.float64))
+    assert float(
+        schedule.timing_clock_rate(cfg0, w0, W, xi_orbit + 0.3, t_in, sl)
+    ) == pytest.approx(1.0, abs=1e-12)

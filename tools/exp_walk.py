@@ -6,9 +6,11 @@ Usage:
 
 Each scenario spec is colon-separated: gate_window, sway_gain, dcm_scale,
 optional double-support duration, swing duration, WBID wrench-task weight,
-CoM-task Kd scale, CoM-task Kp scale. Prints per-scenario summaries: CoM
-lateral envelope, forward progress, final velocity, fall flag — the
-iteration loop for walking robustness work.
+CoM-task Kd scale, CoM-task Kp scale, timing_gain, timing_tol,
+timing_rate_max. Prints per-scenario summaries: CoM lateral envelope,
+forward progress, final velocity, fall flag — the iteration loop for
+walking robustness work. Env: EXP_VX sets the commanded forward speed
+(default 0.1 m/s).
 """
 
 import os
@@ -44,9 +46,12 @@ def main():
         wr = parts[5] if len(parts) > 5 else 0.05
         kd = parts[6] if len(parts) > 6 else 1.0
         kp = parts[7] if len(parts) > 7 else 1.0
-        specs.append((gate, sway, dcm, ds, swing, wr, kd, kp))
+        tgain = parts[8] if len(parts) > 8 else 0.0
+        ttol = parts[9] if len(parts) > 9 else 0.05
+        tmax = parts[10] if len(parts) > 10 else 2.0
+        specs.append((gate, sway, dcm, ds, swing, wr, kd, kp, tgain, ttol, tmax))
     B = len(specs)
-    cols = [jnp.asarray([s[i] for s in specs], jnp.float64) for i in range(8)]
+    cols = [jnp.asarray([s[i] for s in specs], jnp.float64) for i in range(11)]
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
     cfg = eng.walking_config()
@@ -69,6 +74,9 @@ def main():
             sway_gain=cols[1],
             double_support_duration=cols[3],
             swing_duration=cols[4],
+            timing_gain=cols[8],
+            timing_tol=cols[9],
+            timing_rate_max=cols[10],
         ),
         steps=params.steps._replace(dcm_scale=cols[2]),
         wbid_gains=params.wbid_gains._replace(
@@ -76,7 +84,9 @@ def main():
             com_kd=params.wbid_gains.com_kd * cols[6][:, None],
             com_kp=params.wbid_gains.com_kp * cols[7][:, None],
         ),
-        v_cmd=tile(jnp.asarray([0.1, 0.0], jnp.float64)),
+        v_cmd=tile(jnp.asarray(
+            [float(os.environ.get("EXP_VX", "0.1")), 0.0], jnp.float64
+        )),
     )
 
     # 0.5 stand + n_steps * (ds+swing) + 1.5 settle + 2.0 gate slack.
