@@ -1,0 +1,140 @@
+"""Speed-envelope sweep: full-engine walking at off-nominal commanded speeds.
+
+Sweeps ScenarioParams knobs (gait timing, DCM/timing adaptation, swing rate
+caps) at v_cmd in {0.05, 0.2} m/s on the whole-body engine — the two ends of
+the envelope where the validated 0.1 m/s configuration is marginal/untuned
+(TODO.md 4b). Every knob lives in the per-scenario pytree, so the sweep is a
+single vmapped rollout sharded over an 8-device CPU mesh — the TPU-native
+sweep pattern (SURVEY.md §2.7) doing real tuning work.
+
+Usage: python tools/sweep_speed.py [wave]   (wave: 0=v0.2, 1=v0.05)
+Prints one JSON line per config with stability/tracking scores.
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault(
+    "XLA_FLAGS",
+    "--xla_force_host_platform_device_count=8 "
+    + os.environ.get("XLA_FLAGS", ""),
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from g1_locomotion_tpu.engine import tick as eng
+
+N_PERIODS = 120  # 0.5 stand + 8 x 0.5 steps = 4.8 s (stability + tracking;
+                 # the settle phase is validated separately by the test suite)
+
+
+def variants(wave: int):
+    """List of (label, dict-of-overrides). Keys: g_* -> gait, s_* -> steps,
+    v -> v_cmd[0]."""
+    if wave == 0:
+        v = 0.2
+        return v, [
+            ("base", {}),
+            ("ds030", {"g_double_support_duration": 0.30}),
+            ("mujoco-timing", {"g_double_support_duration": 0.35,
+                               "s_step_width": 0.16}),
+            ("swing020", {"g_swing_duration": 0.20,
+                          "g_double_support_duration": 0.30}),
+            ("timing3", {"g_timing_gain": 3.0}),
+            ("dcm12", {"s_dcm_scale": 1.2}),
+            ("rate25", {"g_swing_xy_rate_max": 2.5}),
+            ("sway08", {"g_sway_gain": 0.8}),
+        ]
+    v = 0.05
+    return v, [
+        ("base", {}),
+        ("dcm07", {"s_dcm_scale": 0.7}),
+        ("dcm05", {"s_dcm_scale": 0.5}),
+        ("timing3", {"g_timing_gain": 3.0}),
+        ("ds030", {"g_double_support_duration": 0.30}),
+        ("sway09", {"g_sway_gain": 0.9}),
+        ("dcm07-ds030", {"s_dcm_scale": 0.7,
+                         "g_double_support_duration": 0.30}),
+        ("dcm08-t3", {"s_dcm_scale": 0.8, "g_timing_gain": 3.0}),
+    ]
+
+
+def apply(params, ov, v):
+    g = params.gait
+    s = params.steps
+    for k, val in ov.items():
+        a = jnp.asarray(val, jnp.float64)
+        if k.startswith("g_"):
+            g = g._replace(**{k[2:]: a})
+        elif k.startswith("s_"):
+            s = s._replace(**{k[2:]: a})
+    return params._replace(
+        gait=g, steps=s, v_cmd=jnp.asarray([v, 0.0], jnp.float64)
+    )
+
+
+def main():
+    wave = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if wave == 2:  # both waves in one compile
+        v0, s0 = variants(0)
+        v1, s1 = variants(1)
+        specs = [(0, v0, l, ov) for l, ov in s0] + [
+            (1, v1, l, ov) for l, ov in s1
+        ]
+    else:
+        v, sp = variants(wave)
+        specs = [(wave, v, l, ov) for l, ov in sp]
+    from g1_locomotion_tpu.models.robot import load_robot
+    from g1_locomotion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    model = load_robot("g1_23dof", dtype=jnp.float64)
+    cfg = eng.walking_config()
+    base = eng.walking_scenario(jnp.float64, n_steps=8.0)
+    batch = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[apply(base, ov, vv) for _, vv, _, ov in specs],
+    )
+
+    rollout = eng.make_rollout(model, cfg)
+    state0 = eng.init_state(model, cfg, jnp.float64)
+
+    mesh = jax.make_mesh((len(jax.devices()),), ("b",))
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("b"))
+    batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    run = jax.jit(jax.vmap(lambda p: rollout(state0, p, N_PERIODS)))
+    final, logs = jax.block_until_ready(run(batch))
+
+    com = np.asarray(logs.com)  # (B, P, 40, 3)
+    B = com.shape[0]
+    com = com.reshape(B, -1, 3)
+    t0, t1 = 1500, 4500
+    for i, (w, vv, label, _) in enumerate(specs):
+        v = vv
+        c = com[i]
+        ok = bool(np.isfinite(c).all())
+        zmin = float(np.nanmin(c[:, 2])) if ok else float("nan")
+        ymax = float(np.nanmax(np.abs(c[:, 1]))) if ok else float("nan")
+        v_real = (
+            float((c[t1, 0] - c[t0, 0]) / ((t1 - t0) * 1e-3)) if ok else None
+        )
+        vfin = float(np.abs(np.asarray(final.v[i])).max()) if ok else None
+        zfin = float(c[-1, 2]) if ok else None
+        print(json.dumps({
+            "wave": w, "v": v, "label": label, "finite": ok,
+            "z_min": zmin, "y_max": ymax, "v_real": v_real,
+            "v_final": vfin, "z_final": zfin,
+            "walks": ok and zmin > 0.45 and ymax < 0.25,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
