@@ -106,12 +106,21 @@ def main():
     rollout = eng.make_rollout(model, cfg)
     state0 = eng.init_state(model, cfg, jnp.float64)
 
-    mesh = jax.make_mesh((len(jax.devices()),), ("b",))
-    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("b"))
-    batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
-
+    # Shard the batch over the host-platform devices when the batch divides
+    # evenly (the ambient mesh context is required for jit to consume the
+    # NamedSharding); otherwise run the plain vmap on one device and let the
+    # CPU backend's intra-op threading parallelize.
+    ndev = len(jax.devices())
+    B = len(specs)
     run = jax.jit(jax.vmap(lambda p: rollout(state0, p, N_PERIODS)))
-    final, logs = jax.block_until_ready(run(batch))
+    if B % ndev == 0:
+        mesh = jax.make_mesh((ndev,), ("b",))
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("b"))
+        with jax.sharding.set_mesh(mesh):
+            batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+            final, logs = jax.block_until_ready(run(batch))
+    else:
+        final, logs = jax.block_until_ready(run(batch))
 
     com = np.asarray(logs.com)  # (B, P, 40, 3)
     B = com.shape[0]
