@@ -57,7 +57,8 @@ def variants(wave: int):
         ("base", {}),
         ("dcm07", {"s_dcm_scale": 0.7}),
         ("dcm05", {"s_dcm_scale": 0.5}),
-        ("timing3", {"g_timing_gain": 3.0}),
+        ("swing020", {"g_swing_duration": 0.20,
+                      "g_double_support_duration": 0.30}),
         ("ds030", {"g_double_support_duration": 0.30}),
         ("sway09", {"g_sway_gain": 0.9}),
         ("dcm07-ds030", {"s_dcm_scale": 0.7,
@@ -106,21 +107,12 @@ def main():
     rollout = eng.make_rollout(model, cfg)
     state0 = eng.init_state(model, cfg, jnp.float64)
 
-    # Shard the batch over the host-platform devices when the batch divides
-    # evenly (the ambient mesh context is required for jit to consume the
-    # NamedSharding); otherwise run the plain vmap on one device and let the
-    # CPU backend's intra-op threading parallelize.
-    ndev = len(jax.devices())
-    B = len(specs)
+    # Plain vmap on one device: the CPU backend's intra-op threading
+    # parallelizes the batched linear algebra (explicit mesh sharding would
+    # require out_sharding annotations throughout the engine — jax 0.9's
+    # explicit-sharding mode — for no win on a 4-core host).
     run = jax.jit(jax.vmap(lambda p: rollout(state0, p, N_PERIODS)))
-    if B % ndev == 0:
-        mesh = jax.make_mesh((ndev,), ("b",))
-        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("b"))
-        with jax.sharding.set_mesh(mesh):
-            batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
-            final, logs = jax.block_until_ready(run(batch))
-    else:
-        final, logs = jax.block_until_ready(run(batch))
+    final, logs = jax.block_until_ready(run(batch))
 
     com = np.asarray(logs.com)  # (B, P, 40, 3)
     B = com.shape[0]
