@@ -82,23 +82,42 @@ def run_sweep(
     n_periods: int,
     mesh=None,
     states0: "eng.EngineState | None" = None,
+    com_ref=None,
 ):
     """Run a sharded batched rollout and reduce sweep statistics.
 
-    Returns (final_states, stats) with stats reduced over the mesh.
-    states0 (optional): batched EngineState to resume from (leading axis =
-    scenario) — the checkpoint/resume path for long sweeps; the returned
-    final states are the next chunk's states0.
+    Returns (final_states, (com_start, min_z), stats) with stats reduced
+    over the mesh; com_start/min_z are per-scenario (un-reduced) chunk
+    aggregates for exact chunked accumulation. states0 (optional): batched
+    EngineState to resume from (leading axis = scenario) — the
+    checkpoint/resume path for long sweeps; the returned final states are
+    the next chunk's states0.
+
+    com_ref (optional, (B, 3)): per-scenario CoM drift origin. A chunked
+    sweep must measure every chunk's drift from the WHOLE RUN's first tick
+    (thread the first chunk's returned com_start through), so the final
+    chunk's com_drift statistic equals an unchunked run's exactly — summing
+    per-chunk |Δcom| values does not (|a+b| ≠ |a|+|b|; VERDICT round 2).
+    fell is similarly a whole-chunk min-height test so chunked runs can OR
+    it across chunks.
     """
     mesh = mesh or pmesh.scenario_mesh()
     rollout = eng.make_rollout(model, cfg)
+    use_ref = com_ref is not None
 
-    def per_scenario(params: eng.ScenarioParams, state: eng.EngineState):
+    def per_scenario(params: eng.ScenarioParams, state: eng.EngineState,
+                     ref: jnp.ndarray):
         final, logs = rollout(state, params, n_periods)
         com = logs.com.reshape(-1, 3)
-        drift = jnp.linalg.norm(com[-1] - com[0])
-        fell = (final.q[2] < 0.4).astype(com.dtype)
-        return final, (drift, jnp.max(jnp.abs(logs.tau)), fell)
+        origin = ref if use_ref else com[0]
+        drift = jnp.linalg.norm(com[-1] - origin)
+        # Fell if the CoM height ever dropped below the band at ANY tick of
+        # the chunk (not just the final state). The per-scenario chunk
+        # minimum is also returned un-reduced so chunked runs can take an
+        # element-wise min across chunks — exactly the whole-run minimum.
+        min_z = jnp.min(com[:, 2])
+        fell = (min_z < 0.4).astype(com.dtype)
+        return (final, com[0], min_z), (drift, jnp.max(jnp.abs(logs.tau)), fell)
 
     def reduce_fn(out):
         _, (drift, tau_max, fell) = out
@@ -113,13 +132,17 @@ def run_sweep(
                             fell_count="sum")
     f = pmesh.sharded_vmap(mesh, per_scenario, reduce_fn=reduce_fn,
                            reduce_ops=reduce_ops)
+    B = batch_params.v_cmd.shape[0]
+    dtype = batch_params.v_cmd.dtype
     if states0 is None:
-        B = batch_params.v_cmd.shape[0]
-        state0 = eng.init_state(model, cfg, batch_params.v_cmd.dtype)
+        state0 = eng.init_state(model, cfg, dtype)
         states0 = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), state0
         )
+    if com_ref is None:
+        com_ref = jnp.zeros((B, 3), dtype)  # unused when use_ref is False
     batch_params = pmesh.shard_batch(mesh, batch_params)
     states0 = pmesh.shard_batch(mesh, states0)
-    (final, _), stats = f(batch_params, states0)
-    return final, stats
+    com_ref = pmesh.shard_batch(mesh, com_ref)
+    ((final, com_start, min_z), _), stats = f(batch_params, states0, com_ref)
+    return final, (com_start, min_z), stats
