@@ -17,9 +17,32 @@ and is backward stable; the recursion's work is almost entirely MXU matmuls.
 
 from __future__ import annotations
 
+import math
+
+import jax
 import jax.numpy as jnp
 
 _BASE = 30  # tuned on v5e: ~13% faster than 16 (fewer tiny-matmul levels)
+
+# Pallas base-case dispatch: None = auto (TPU backend, <= f32, batch >= 128),
+# True/False = force. The Pallas kernel (ops/pallas_lin.py) runs the unrolled
+# base factorization with the batch on the 128-lane axis — full VPU width —
+# instead of XLA's matrix-on-lanes layout that idles 98/128 lanes at n = 30.
+use_pallas_base: bool | None = None
+
+
+def _pallas_wanted(K: jnp.ndarray) -> bool:
+    if use_pallas_base is not None:
+        return use_pallas_base
+    if K.dtype == jnp.float64:
+        return False  # TPU has no f64; CPU/interpret paths stay on XLA
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+    if backend not in ("tpu", "axon"):
+        return False
+    return math.prod(K.shape[:-2]) >= 128
 
 
 def _chol_inv_base(K: jnp.ndarray) -> jnp.ndarray:
@@ -59,6 +82,11 @@ def chol_inverse(K: jnp.ndarray) -> jnp.ndarray:
     """W = L^-1 for the Cholesky factor of batched SPD K (..., n, n)."""
     n = K.shape[-1]
     if n <= _BASE:
+        if K.ndim >= 3 and _pallas_wanted(K):
+            from g1_locomotion_tpu.ops import pallas_lin
+
+            flat = K.reshape((-1,) + K.shape[-2:])
+            return pallas_lin.chol_inverse_base(flat).reshape(K.shape)
         return _chol_inv_base(K)
     h = n // 2
     A = K[..., :h, :h]

@@ -1,0 +1,136 @@
+"""Pallas TPU kernel for the recursive Cholesky-inverse base case.
+
+The matmul-only SPD inverse (ops/lin.py) recurses down to (B, n<=30, n<=30)
+base blocks. Under plain XLA those base blocks lower to ~60 sequential
+(B, j)-shaped VPU ops whose natural layout puts the 30-wide matrix dimension
+on the 128-lane axis — 77% of every vector register idles, and each tiny op
+round-trips through HBM-adjacent layouts the fusion pass cannot always
+eliminate (TODO round-2 item 5; SURVEY §2.2 wants the QP hot path "as Pallas
+kernels").
+
+This kernel flips the layout: the BATCH rides the 128-lane axis and the
+matrix rows ride sublanes, so every unrolled Cholesky/substitution step is a
+full-width VPU op over 128 independent QP instances:
+
+    K (B, n, n)  ->  transpose (n, n, B)  ->  grid over B/128 lane-tiles
+    per tile: K_tile (n, n, 128) in VMEM, fully unrolled in-register
+    factor + forward substitution, one write of W = L^-1.
+
+The recursion's combine steps (L21, Schur complement, W2 L21 W1) stay in XLA
+— they are genuine batched matmuls and belong on the MXU.
+
+Reference contract: the QP KKT solves this accelerates implement the
+qpOASES/OSQP role of the reference's WBID/MPC solvers
+(/root/reference/g1_mujoco_sim/src/wbid.py:184-227 solves per-tick QPs via
+OpenSoT; the MPC node's solver is qpOASES per SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 128  # batch elements per grid step (one full lane register)
+
+
+def _chol_inv_kernel(k_ref, w_ref, *, n: int):
+    """One lane-tile: W = L^-1 with K = L L' for 128 SPD matrices.
+
+    k_ref/w_ref: (n, n, LANE_TILE) VMEM refs, batch on the lane axis.
+    Fully unrolled (n is a trace-time constant <= 32): every step is an
+    (rows, 128)-shaped VPU op with all 128 lanes doing useful work. All
+    intermediate values are kept >= 2-D (TPU vector registers are
+    sublane x lane tiles; 1-D values force degenerate layouts).
+    """
+    K = k_ref[:]  # (n, n, TB)
+    dtype = K.dtype
+    TB = K.shape[-1]
+
+    # --- Cholesky factor, column-by-column (unrolled; j is static) ---------
+    # L is stored as COLUMNS: L_cols[k][i] == L[i, k] (both loops below read
+    # whole columns). Each column is an (n, TB) value.
+    L_cols = [None] * n
+    inv_d = [None] * n  # (1, TB) reciprocals of the diagonal
+    for j in range(n):
+        d = K[j, j : j + 1, :]  # (1, TB)
+        for k in range(j):
+            Lkj = L_cols[k][j : j + 1]
+            d = d - Lkj * Lkj
+        d = jnp.sqrt(jnp.maximum(d, jnp.asarray(1e-30, dtype)))
+        rd = 1.0 / d
+        inv_d[j] = rd
+        parts = [jnp.zeros((j, TB), dtype), d] if j else [d]
+        if j + 1 < n:
+            s = K[j + 1 :, j, :]  # (n-j-1, TB)
+            for k in range(j):
+                s = s - L_cols[k][j + 1 :] * L_cols[k][j : j + 1]
+            parts.append(s * rd)
+        L_cols[j] = jnp.concatenate(parts, axis=0)  # (n, TB)
+
+    # --- Forward substitution: W = L^-1 (unrolled) --------------------------
+    # Row i of W: W[i, :] = (e_i - sum_{k<i} L[i,k] W[k, :]) / L[i,i].
+    W_rows = [None] * n
+    for i in range(n):
+        acc = jnp.zeros((n, TB), dtype)
+        for k in range(i):
+            acc = acc + L_cols[k][i : i + 1] * W_rows[k]
+        # e_i - acc without a scatter: splice the diagonal element. Mosaic
+        # rejects zero-size vector slices, so the head/tail parts only exist
+        # when nonempty.
+        parts = []
+        if i > 0:
+            parts.append(-acc[:i])
+        parts.append(1.0 - acc[i : i + 1])
+        if i + 1 < n:
+            parts.append(-acc[i + 1 :])
+        row = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        W_rows[i] = row * inv_d[i]
+
+    w_ref[:] = jnp.concatenate(
+        [r[None] for r in W_rows], axis=0
+    )  # (n, n, TB)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_inverse_base(K: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """W = L^-1 for batched SPD K (B, n, n), n <= 32 — Pallas TPU path.
+
+    Drop-in replacement for ops.lin._chol_inv_base on the (B, n, n) layout.
+    Pads B up to a multiple of 128 with identity matrices (their inverse is
+    well-conditioned, so the padding lanes never produce inf/nan that could
+    slow the VPU) and transposes batch onto the lane axis.
+    """
+    B, n, n2 = K.shape
+    assert n == n2 and n <= 32, (n, "base kernel is for blocks <= 32")
+    dtype = K.dtype
+
+    Bp = ((B + LANE_TILE - 1) // LANE_TILE) * LANE_TILE
+    if Bp != B:
+        pad = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (Bp - B, n, n))
+        K = jnp.concatenate([K, pad], axis=0)
+
+    Kt = jnp.transpose(K, (1, 2, 0))  # (n, n, Bp) — batch on lanes
+
+    out = pl.pallas_call(
+        functools.partial(_chol_inv_kernel, n=n),
+        out_shape=jax.ShapeDtypeStruct((n, n, Bp), dtype),
+        grid=(Bp // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, n, LANE_TILE),
+                lambda b: (0, 0, b),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (n, n, LANE_TILE), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(Kt)
+
+    W = jnp.transpose(out, (2, 0, 1))  # back to (Bp, n, n)
+    return W[:B]
