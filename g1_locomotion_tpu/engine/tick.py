@@ -20,10 +20,12 @@ BASELINE.json) — MuJoCo remains available host-side for validation
 
 from __future__ import annotations
 
+import time
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from g1_locomotion_tpu.core import rotations as rot
 from g1_locomotion_tpu.engine import plant as plant_mod
@@ -50,6 +52,12 @@ class EngineConfig(NamedTuple):
     ticks_per_mpc: int = 40  # 0.04 / 0.001 (run_simulation.py:169 vs :172)
     max_swing_height: float = 0.05  # m (ros_run_simulation.py:294)
     com_height: float = 0.598  # standing CoM target (run_simulation.py:81)
+    # In-engine per-stage solve timing (the reference exports
+    # /wbid_statistics solve times per tick, ros_run_simulation.py:488,
+    # 509-511). Opt-in: ordered host callbacks serialize the stages they
+    # measure, so the pure-engine throughput path keeps this OFF and
+    # timing-instrumented rollouts are a diagnosis configuration.
+    telemetry: bool = False
     # Lateral sway + weight-transfer gate parameters live in GaitConfig
     # (per-scenario pytree, vmappable/randomizable).
 
@@ -196,6 +204,47 @@ class TickLog(NamedTuple):
     landing: jnp.ndarray      # (3,) planned touchdown point
     mpc_pri_res: jnp.ndarray
     wbid_pri_res: jnp.ndarray
+    mpc_ms: jnp.ndarray       # host wall-clock of the period's MPC solve
+    wbid_ms: jnp.ndarray      # host wall-clock of this tick's WBID solve
+                              # (both 0 unless cfg.telemetry)
+
+
+class _StageClock:
+    """Host stopwatch for in-jit solve timing (cfg.telemetry).
+
+    A pair of ORDERED io_callbacks brackets the solve; the data dependencies
+    (start token folded into the solve input, solve residual fed to stop)
+    pin the callbacks to the solve in program order, so the measured window
+    is the solve's host wall-clock even under XLA reordering. State lives on
+    the host object — legal because ordered callbacks execute serially in
+    program order, including across lax.scan iterations."""
+
+    def __init__(self):
+        self._t0 = 0.0
+
+    def _start(self):
+        self._t0 = time.perf_counter()
+        return np.float32(0.0)
+
+    def _stop(self, _dep):
+        return np.float32((time.perf_counter() - self._t0) * 1e3)
+
+    def start(self, dtype):
+        from jax.experimental import io_callback
+
+        tok = io_callback(
+            self._start, jax.ShapeDtypeStruct((), np.float32), ordered=True
+        )
+        return tok.astype(dtype)
+
+    def stop(self, dep, dtype):
+        from jax.experimental import io_callback
+
+        ms = io_callback(
+            self._stop, jax.ShapeDtypeStruct((), np.float32), dep,
+            ordered=True,
+        )
+        return ms.astype(dtype)
 
 
 def init_state(model: RobotModel, cfg: EngineConfig, dtype=jnp.float32) -> EngineState:
@@ -269,6 +318,9 @@ def _mpc_stage(
         hold=state.gate_hold,
     )
 
+    if cfg.telemetry:
+        clock = _StageClock()
+        x0 = x0 + clock.start(x0.dtype) * 0.0
     sol = mpc.solve(
         cfg.mpc,
         params.mpc_weights,
@@ -280,6 +332,10 @@ def _mpc_stage(
         plan.p_ref,
         U_warm=state.U_warm,
         landing_mask=plan.landing_mask,
+    )
+    mpc_ms = (
+        clock.stop(sol.pri_res, x0.dtype)
+        if cfg.telemetry else jnp.zeros((), x0.dtype)
     )
     landing = plan.landing
     if cfg.mpc.footstep_opt:
@@ -293,7 +349,7 @@ def _mpc_stage(
         x_opt1=sol.x_horizon[1],
         contact_now=plan.contact_hor[0],
         landing=landing,
-    ), sol
+    ), sol, mpc_ms
 
 
 def _wbid_tick(
@@ -462,9 +518,18 @@ def _wbid_tick(
         angmom_Ldot=angmom_Ldot,
     )
 
+    if cfg.telemetry:
+        clock = _StageClock()
+        q_in = state.q + clock.start(dtype) * 0.0
+    else:
+        q_in = state.q
     sol = wbid.solve(
-        model, idx, cfg.wbid, params.wbid_gains, state.q, state.v, refs,
+        model, idx, cfg.wbid, params.wbid_gains, q_in, state.v, refs,
         body_X=body_X,
+    )
+    wbid_ms = (
+        clock.stop(sol.pri_res, dtype)
+        if cfg.telemetry else jnp.zeros((), dtype)
     )
 
     # Whole-body plant: constrained forward dynamics driven by the WBID
@@ -567,6 +632,8 @@ def _wbid_tick(
         landing=state.landing,
         mpc_pri_res=jnp.zeros((), dtype),
         wbid_pri_res=sol.pri_res,
+        mpc_ms=jnp.zeros((), dtype),
+        wbid_ms=wbid_ms,
     )
     new_state = state._replace(
         q=q_new,
@@ -590,7 +657,7 @@ def make_rollout(model: RobotModel, cfg: EngineConfig):
     idx = StackIndices.from_model(model)
 
     def period(state: EngineState, params: ScenarioParams):
-        state, mpc_sol = _mpc_stage(model, idx, cfg, params, state)
+        state, mpc_sol, mpc_ms = _mpc_stage(model, idx, cfg, params, state)
 
         def tick(s, i):
             # Phase within the MPC's PREDICTION interval (mpc.dt), not the
@@ -608,7 +675,8 @@ def make_rollout(model: RobotModel, cfg: EngineConfig):
             jnp.arange(cfg.ticks_per_mpc, dtype=state.q.dtype),
         )
         logs = logs._replace(
-            mpc_pri_res=jnp.broadcast_to(mpc_sol.pri_res, logs.mpc_pri_res.shape)
+            mpc_pri_res=jnp.broadcast_to(mpc_sol.pri_res, logs.mpc_pri_res.shape),
+            mpc_ms=jnp.broadcast_to(mpc_ms, logs.mpc_ms.shape),
         )
         return state, logs
 
