@@ -69,13 +69,17 @@ class MujocoLoop:
         # ~0.1 m/s of backward CoM velocity) started it at the edge of the
         # heel's CoP authority and it toppled within ~1.5 s — with a quiet
         # hand-off the same controller stands indefinitely (round-2 probe).
+        from g1_locomotion_tpu.utils import pd
+
+        pd_gains = pd.default_gains(jnp.float64)
+        tau_max = np.asarray(model.tau_max)
         q0 = self.mj_data.qpos[7:].copy()
         quiet_run = 0
         for k in range(settle_ticks):
-            tau = 300.0 * (q0 - self.mj_data.qpos[7:]) - 10.0 * self.mj_data.qvel[6:]
-            self.mj_data.ctrl[:] = np.clip(
-                tau, -np.asarray(model.tau_max), np.asarray(model.tau_max)
-            )
+            tau = np.asarray(pd.pd_torques(
+                pd_gains, q0, self.mj_data.qpos[7:], self.mj_data.qvel[6:],
+            ))
+            self.mj_data.ctrl[:] = np.clip(tau, -tau_max, tau_max)
             mujoco.mj_step(self.mj_model, self.mj_data)
             # SUSTAINED quiet, not an instant: the settle bounces, and any
             # single turning point has qvel ~ 0 while the contact springs are

@@ -84,9 +84,17 @@ def mpc_update(
     fz_max=1000.0,
     mass=G1_MASS,
     inertia=TORSO_INERTIA,
+    qp_backend="native",
 ):
     """The reference's ``MPC.update`` (run_simulation.py:106): returns
-    (u_opt0 (12,), x_horizon (N+1, 13), U (N, 12))."""
+    (u_opt0 (12,), x_horizon (N+1, 13), U (N, 12)).
+
+    qp_backend: "native" (default) solves the condensed QP with the C++
+    Mehrotra IPM (native/qp_solver.cpp) — the qpOASES-role backend in its
+    serving seat; it is itself oracle-tested against scipy
+    (tests/test_native_qp.py), so the parity evidence chain stays
+    independent of the batched TPU ADMM under test. "scipy" keeps the
+    original trust-constr path (slower; used as the IPM's own oracle)."""
     N = x_ref.shape[0]
     yaw = x0[2]  # current-yaw linearization for the whole horizon
 
@@ -150,16 +158,23 @@ def mpc_update(
             if contact_horizon[k, i] > 0.5:
                 U0[k, 3 * i + 2] = min(max(W / n_act, fz_min), fz_max)
 
-    res = minimize(
-        lambda U: 0.5 * U @ H @ U + g @ U,
-        U0.reshape(-1),
-        jac=lambda U: H @ U + g,
-        hess=lambda U: H,
-        method="trust-constr",
-        constraints=[LinearConstraint(A_con, lo, hi)],
-        options={"maxiter": 400, "gtol": 1e-10, "xtol": 1e-12},
-    )
-    U = res.x.reshape(N, NU)
+    if qp_backend == "native":
+        from g1_locomotion_tpu.ops import native_qp
+
+        res = native_qp.solve(H, g, A_con, lo, hi, max_iter=100, tol=1e-11)
+        assert res.status == 0, f"native IPM failed: status={res.status}"
+        U = res.x.reshape(N, NU)
+    else:
+        res = minimize(
+            lambda U: 0.5 * U @ H @ U + g @ U,
+            U0.reshape(-1),
+            jac=lambda U: H @ U + g,
+            hess=lambda U: H,
+            method="trust-constr",
+            constraints=[LinearConstraint(A_con, lo, hi)],
+            options={"maxiter": 400, "gtol": 1e-10, "xtol": 1e-12},
+        )
+        U = res.x.reshape(N, NU)
 
     # Rollout.
     xs = [x0]
