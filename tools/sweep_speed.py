@@ -4,22 +4,18 @@ Sweeps ScenarioParams knobs (gait timing, DCM/timing adaptation, swing rate
 caps) at v_cmd in {0.05, 0.2} m/s on the whole-body engine — the two ends of
 the envelope where the validated 0.1 m/s configuration is marginal/untuned
 (TODO.md 4b). Every knob lives in the per-scenario pytree, so the sweep is a
-single vmapped rollout sharded over an 8-device CPU mesh — the TPU-native
-sweep pattern (SURVEY.md §2.7) doing real tuning work.
+SINGLE-DEVICE vmapped rollout (one compile for all variants; the CPU
+backend's intra-op threading parallelizes the batched linear algebra —
+explicit mesh sharding buys nothing on a 4-core host).
 
-Usage: python tools/sweep_speed.py [wave]   (wave: 0=v0.2, 1=v0.05)
+Usage: python tools/sweep_speed.py [wave]
+  wave: 0 = v_cmd 0.2 variants, 1 = v_cmd 0.05 variants,
+        2 = both in one compile (default).
 Prints one JSON line per config with stability/tracking scores.
 """
 
 import json
-import os
 import sys
-
-os.environ.setdefault(
-    "XLA_FLAGS",
-    "--xla_force_host_platform_device_count=8 "
-    + os.environ.get("XLA_FLAGS", ""),
-)
 
 import jax
 
@@ -31,13 +27,16 @@ import numpy as np
 
 from g1_locomotion_tpu.engine import tick as eng
 
-N_PERIODS = 120  # 0.5 stand + 8 x 0.5 steps = 4.8 s (stability + tracking;
-                 # the settle phase is validated separately by the test suite)
+# Rollout length is sized in main() from the slowest variant's half-step
+# (n_steps x max(swing+ds) + stand + margin): a fixed count scored the
+# long-cycle variants (ds030, mujoco-timing) mid-gait and their z/v finals
+# were not comparable (ADVICE round 2).
 
 
 def variants(wave: int):
-    """List of (label, dict-of-overrides). Keys: g_* -> gait, s_* -> steps,
-    v -> v_cmd[0]."""
+    """(v_cmd_x, list of (label, dict-of-overrides)). Override keys are
+    prefixed g_* (GaitConfig fields) or s_* (FootstepConfig fields); the
+    commanded speed is the per-wave v returned alongside."""
     if wave == 0:
         v = 0.2
         return v, [
@@ -76,6 +75,11 @@ def apply(params, ov, v):
             g = g._replace(**{k[2:]: a})
         elif k.startswith("s_"):
             s = s._replace(**{k[2:]: a})
+        else:
+            raise ValueError(
+                f"unrecognized override key {k!r} (use g_<gait-field> or "
+                "s_<footstep-field>)"
+            )
     return params._replace(
         gait=g, steps=s, v_cmd=jnp.asarray([v, 0.0], jnp.float64)
     )
@@ -83,6 +87,8 @@ def apply(params, ov, v):
 
 def main():
     wave = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if wave not in (0, 1, 2):
+        raise SystemExit(f"wave must be 0, 1 or 2, got {wave}")
     if wave == 2:  # both waves in one compile
         v0, s0 = variants(0)
         v1, s1 = variants(1)
@@ -107,20 +113,32 @@ def main():
     rollout = eng.make_rollout(model, cfg)
     state0 = eng.init_state(model, cfg, jnp.float64)
 
+    # Size the (shared) rollout so every variant finishes all 8 steps:
+    # stand (0.5 s) + 8 x slowest half-step + 0.3 s margin.
+    halves = []
+    for _, vv, _, ov in specs:
+        swing = ov.get("g_swing_duration", 0.25)
+        ds = ov.get("g_double_support_duration", 0.25)
+        halves.append(swing + ds)
+    n_periods = int(np.ceil((0.5 + 8.0 * max(halves) + 0.3) / 0.04))
+
     # Plain vmap on one device: the CPU backend's intra-op threading
     # parallelizes the batched linear algebra (explicit mesh sharding would
     # require out_sharding annotations throughout the engine — jax 0.9's
     # explicit-sharding mode — for no win on a 4-core host).
-    run = jax.jit(jax.vmap(lambda p: rollout(state0, p, N_PERIODS)))
+    run = jax.jit(jax.vmap(lambda p: rollout(state0, p, n_periods)))
     final, logs = jax.block_until_ready(run(batch))
 
     com = np.asarray(logs.com)  # (B, P, 40, 3)
     B = com.shape[0]
     com = com.reshape(B, -1, 3)
-    t0, t1 = 1500, 4500
-    for i, (w, vv, label, _) in enumerate(specs):
+    for i, (w, vv, label, ov_i) in enumerate(specs):
         v = vv
         c = com[i]
+        # Per-variant mid-walk scoring window: steps 2..7 of ITS OWN cycle.
+        half_i = halves[i]
+        t0 = int((0.5 + 2.0 * half_i) * 1000)
+        t1 = int((0.5 + 7.0 * half_i) * 1000)
         ok = bool(np.isfinite(c).all())
         zmin = float(np.nanmin(c[:, 2])) if ok else float("nan")
         ymax = float(np.nanmax(np.abs(c[:, 1]))) if ok else float("nan")

@@ -1,7 +1,8 @@
 """Full validation of the fast-gait (0.2 m/s) configuration found by
 tools/sweep_speed.py wave 0: swing 0.20 s / DS 0.30 s. Runs the complete
-walk + settle (163 periods, as tests/test_engine_walking.py) and checks the
-walking test's assertions plus velocity tracking."""
+walk + settle (163 periods, as tests/test_engine_walking.py), prints the
+metrics, and exits nonzero if any of the walking test's pass thresholds
+(stability band, quiet settle, velocity tracking) is violated."""
 
 import json
 
@@ -58,3 +59,20 @@ print(json.dumps({
     "left_swings": left_td,
     "right_swings": right_td,
 }, indent=1))
+
+# Pass/fail thresholds mirroring tests/test_engine_walking.py.
+v_cmd = 0.2
+v_real = float((com[t1, 0] - com[t0, 0]) / ((t1 - t0) * 1e-3))
+checks = {
+    "finite": bool(np.isfinite(com).all()),
+    "z_min > 0.45": bool(com[:, 2].min() > 0.45),
+    "|y|_max < 0.2": bool(np.abs(com[:, 1]).max() < 0.2),
+    "z_final ~ 0.598": bool(abs(float(com[-1, 2]) - 0.598) < 0.02),
+    "quiet settle": bool(float(jnp.abs(final.v).max()) < 0.3),
+    "upright": bool(np.abs(rpy[:2]).max() < 0.15),
+    "4+4 swings": left_td == 4 and right_td == 4,
+    "velocity tracking": bool(abs(v_real - v_cmd) < 0.2 * v_cmd + 0.02),
+}
+failed = [k for k, ok in checks.items() if not ok]
+print(json.dumps({"checks": checks, "failed": failed}))
+raise SystemExit(1 if failed else 0)
