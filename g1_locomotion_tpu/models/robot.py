@@ -166,6 +166,7 @@ def load_robot(variant: str = "g1_23dof", dtype=jnp.float32) -> RobotModel:
     d = json.loads((_ASSET_DIR / f"{variant}.json").read_text())
     spec = spec_from_dict(d)
     _ensure_foot_contact_frames(spec)
+    _ensure_hand_contact_frames(spec)
     return model_from_spec(spec, dtype=dtype)
 
 
@@ -192,6 +193,36 @@ def _ensure_foot_contact_frames(spec) -> None:
                 spec.frames.append(
                     FrameSpec(name, body, _np.array(xyz), _np.eye(3))
                 )
+
+
+def _ensure_hand_contact_frames(spec) -> None:
+    """Synthesize ``{side}_hand_point_contact`` frames for variants whose
+    description lacks them (the reference defines them for the rubber-hand
+    arms, g1_23dof.urdf:855-859: +0.17 m along the rubber-hand x axis; the
+    dexterous-hand variant has none, so its contact point is synthesized at
+    the palm frame). These are the attachment points for the optional WBID
+    hand-contact task (wbid/stack.py)."""
+    from g1_locomotion_tpu.models.urdf import FrameSpec
+    import numpy as _np
+
+    frames = {f.name: f for f in spec.frames}
+    for side in ("left", "right"):
+        name = f"{side}_hand_point_contact"
+        if name in frames:
+            continue
+        base = None
+        off = _np.zeros(3)
+        if f"{side}_rubber_hand" in frames:
+            base = frames[f"{side}_rubber_hand"]
+            off = _np.array([0.17, 0.0, 0.0])
+        elif f"{side}_hand_palm_link" in frames:
+            base = frames[f"{side}_hand_palm_link"]
+        if base is None:
+            continue
+        spec.frames.append(
+            FrameSpec(name, base.body, base.xyz + base.rot @ off,
+                      base.rot.copy())
+        )
 
 
 def load_robot_from_urdf(urdf_string: str, dtype=jnp.float32) -> RobotModel:

@@ -44,12 +44,17 @@ NF = 4  # contact force variables
 NX_F = 3 * NF
 
 
+HAND_FRAMES = ("left_hand_point_contact", "right_hand_point_contact")
+
+
 class StackIndices(NamedTuple):
     """Static frame indices resolved once per model."""
 
     contacts: Tuple[int, ...]
     feet: Tuple[int, ...]
     pelvis: int
+    hands: Tuple[int, ...] = ()  # hand point contacts (empty if the
+                                 # variant has no arms/hands)
 
     @staticmethod
     def from_model(model: RobotModel) -> "StackIndices":
@@ -57,6 +62,10 @@ class StackIndices(NamedTuple):
             contacts=tuple(model.frame_index(f) for f in CONTACT_FRAMES),
             feet=tuple(model.frame_index(f) for f in FOOT_FRAMES),
             pelvis=model.frame_index("pelvis"),
+            hands=tuple(
+                model.frame_index(f) for f in HAND_FRAMES
+                if f in model.frame_names
+            ),
         )
 
 
@@ -271,6 +280,26 @@ def build_qp(
         a_des - base_drift,
         gains.w_base,
     )
+
+    # --- Optional hand Cartesian tasks (hand point contacts; frames from
+    # g1_23dof.urdf:855-859 / synthesized at load). OpenSoT's Cartesian task
+    # targets any link — this is the same capability for the arm endpoints
+    # (reach/brace references). Statically compiled out unless the caller
+    # supplies refs.hand_pos (the walking hot path never pays for it). ---
+    if refs.hand_pos is not None and idx.hands:
+        for s, fh in enumerate(idx.hands):
+            Xh = rb.frame_pose(model, body_X, fh)
+            Jh = rb.frame_jacobian(model, q, body_X, fh)[:3]
+            drift_h = _frames_drift(model, q, v, (fh,), rows=slice(0, 3))
+            a_des_h = (
+                gains.hand_kp * (refs.hand_pos[s] - Xh.p)
+                - gains.hand_kd * (Jh @ v)
+            )
+            add(
+                jnp.concatenate([Jh, zeros_f], axis=1),
+                a_des_h - drift_h,
+                gains.w_hand,
+            )
 
     # --- Postural task on non-leg joints (wbid.py:128-134,167: stack rows
     # 18..28 select waist+arms; generalized to any variant by deriving the

@@ -60,6 +60,15 @@ class WBIDGains(NamedTuple):
     fz_min: jnp.ndarray
     fz_max: jnp.ndarray
     fxy_max: jnp.ndarray
+    # Optional hand Cartesian tasks on the hand point contacts (frames from
+    # g1_23dof.urdf:855-859, synthesized per-variant at load —
+    # models/robot.py). Weight 0 = task rows still masked out when hand
+    # references are supplied; the task only exists in the QP at all when
+    # WBIDReferences.hand_pos is not None (static gate — the walking hot
+    # path never pays for it).
+    hand_kp: jnp.ndarray
+    hand_kd: jnp.ndarray
+    w_hand: jnp.ndarray
     # Joint-limit viability lookahead [s]: the acceleration bound brakes a
     # joint so it can stop within this window. The reference's JointLimits
     # run at dt=1 ms with 10x velocity headroom (wbid.py:196-204) — bounds of
@@ -99,6 +108,9 @@ def default_gains(dtype=jnp.float32) -> WBIDGains:
         fz_min=jnp.asarray(10.0, dtype),
         fz_max=jnp.asarray(1000.0, dtype),
         fxy_max=jnp.asarray(1000.0, dtype),
+        hand_kp=jnp.asarray(100.0, dtype),
+        hand_kd=jnp.asarray(20.0, dtype),
+        w_hand=jnp.asarray(1.0, dtype),
         qlim_lookahead=jnp.asarray(0.02, dtype),
     )
 
@@ -129,3 +141,6 @@ class WBIDReferences(NamedTuple):
                                # behavior: damp all momentum, wbid.py:136-142)
     angmom_Ldot: jnp.ndarray   # (3,) momentum-rate feedforward — the plan's
                                # I_srbd @ omega_dot (0 = reference behavior)
+    hand_pos: jnp.ndarray | None = None  # (2, 3) optional hand point-contact
+                               # position targets (L, R); None (default)
+                               # compiles the stack without hand tasks
