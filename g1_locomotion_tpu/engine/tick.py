@@ -58,6 +58,10 @@ class EngineConfig(NamedTuple):
     # measure, so the pure-engine throughput path keeps this OFF and
     # timing-instrumented rollouts are a diagnosis configuration.
     telemetry: bool = False
+    # Per-tick whole-body configuration logging (TickLog.q) for the 3D
+    # kinematic replay (utils/replay.py — the rviz analogue). Off by
+    # default: sweeps at B ~ 10^4 scenarios don't want +nq floats per tick.
+    log_q: bool = False
     # Lateral sway + weight-transfer gate parameters live in GaitConfig
     # (per-scenario pytree, vmappable/randomizable).
 
@@ -101,6 +105,21 @@ def walking_config() -> EngineConfig:
     )
 
 
+def walking_config_f32() -> EngineConfig:
+    """walking_config + float32 numeric mitigations for on-chip execution.
+
+    The f64-validated walk is knife-edge sensitive to QP numerics
+    (CLAUDE.md); at plain f32 on the TPU it falls (round-3 measurement).
+    This configuration adds iterative refinement on every polish KKT solve
+    (QPConfig.polish_refine — reuses the LU factors, ~1 extra digit of
+    accuracy per pass) for the f32 deployment path."""
+    cfg = walking_config()
+    return cfg._replace(
+        mpc=cfg.mpc._replace(qp=cfg.mpc.qp._replace(polish_refine=2)),
+        wbid=cfg.wbid._replace(qp=cfg.wbid.qp._replace(polish_refine=2)),
+    )
+
+
 def default_scenario(dtype=jnp.float32) -> ScenarioParams:
     return ScenarioParams(
         srbd=srbd.default_params(dtype),
@@ -118,13 +137,76 @@ def walking_scenario(
     v_cmd=(0.1, 0.0),
 ) -> ScenarioParams:
     """Scenario defaults for dynamic walking (pairs with walking_config):
-    velocity-emphasized MPC weights (mpc.walking_weights)."""
+    velocity-emphasized MPC weights (mpc.walking_weights), gait timing
+    SCHEDULED by the commanded speed (BASELINE config 1 is a
+    velocity-commanded MPC — one fixed gait does not cover the envelope):
+
+    * fast (vx >= 0.15 m/s): swing 0.20 s / DS 0.30 s — the sweep-validated
+      0.2 m/s gait (tools/sweep_speed.py wave 0; tools/validate_fast_walk.py
+      passes the full walking-test bar with it). Shorter swings cap the
+      per-step LIPM divergence the larger sagittal excursions drive.
+    * slow (vx <= 0.075 m/s): damped LATERAL DCM placement (dcm_scale 0.8)
+      with slightly over-unity sagittal capture (dcm_scale_x 1.2) +
+      step-timing adaptation — at low speed the full-gain lateral capture
+      over-steps the small nominal step (round-2 measurement: vx creep
+      0.05 -> 0.4), but damping BOTH axes walks in place (round-3 sweep:
+      shared dcm 0.8 gave v_real ~ 0.004 at a 0.05 command; the x-split at
+      1.2 tracks 0.061).
+    """
     p = default_scenario(dtype)
+    gait = p.gait._replace(n_steps=jnp.asarray(n_steps, dtype))
+    steps = p.steps
+    vx = abs(float(v_cmd[0]))
+    if vx >= 0.15:
+        gait = gait._replace(
+            swing_duration=jnp.asarray(0.20, dtype),
+            double_support_duration=jnp.asarray(0.30, dtype),
+        )
+    elif vx <= 0.075:
+        steps = steps._replace(
+            dcm_scale=jnp.asarray(0.8, dtype),
+            dcm_scale_x=jnp.asarray(1.2, dtype),
+        )
+        gait = gait._replace(timing_gain=jnp.asarray(3.0, dtype))
     return p._replace(
         mpc_weights=mpc.walking_weights(dtype),
-        gait=p.gait._replace(n_steps=jnp.asarray(n_steps, dtype)),
+        gait=gait,
+        steps=steps,
         v_cmd=jnp.asarray(v_cmd, dtype),
     )
+
+
+def variant_walking_scenario(
+    model: RobotModel,
+    dtype=jnp.float32,
+    n_steps: float = 8.0,
+    v_cmd=(0.1, 0.0),
+) -> ScenarioParams:
+    """Walking scenario for non-default robot variants (robot-generic WBID,
+    reference wbid.py:20 loads any URDF): SRBD parameters derived from THIS
+    model at its standing pose (the 23-DoF composite-inertia constants
+    destabilize other mass distributions), plus posture stiffening when the
+    variant has waist roll/pitch DoFs — the SRBD treats the robot as one
+    rigid body, and on g1_29dof the upper body held only by the reference's
+    w_posture=0.4 flops around the extra waist joints until the model
+    mismatch diverges (round-3 measurement: w_posture 0.4 falls in the
+    first steps at +-3 rad of roll; 2.0 walks all 8 steps and settles)."""
+    from g1_locomotion_tpu.engine.state import q_init_standing
+
+    p = walking_scenario(dtype, n_steps=n_steps, v_cmd=v_cmd)
+    p = p._replace(
+        srbd=srbd.params_from_model(model, q_init_standing(model, dtype))
+    )
+    if any(
+        ("waist_roll" in n) or ("waist_pitch" in n)
+        for n in model.joint_names
+    ):
+        p = p._replace(
+            wbid_gains=p.wbid_gains._replace(
+                w_posture=jnp.asarray(2.0, dtype)
+            )
+        )
+    return p
 
 
 def mujoco_walking_scenario(
@@ -207,6 +289,8 @@ class TickLog(NamedTuple):
     mpc_ms: jnp.ndarray       # host wall-clock of the period's MPC solve
     wbid_ms: jnp.ndarray      # host wall-clock of this tick's WBID solve
                               # (both 0 unless cfg.telemetry)
+    q: jnp.ndarray            # (nq,) whole-body configuration for the 3D
+                              # replay (empty (0,) unless cfg.log_q)
 
 
 class _StageClock:
@@ -556,39 +640,44 @@ def _wbid_tick(
     in_ds_tail = in_gait & (t_in_step < ds) & (
         t_in_step > (1.0 - params.gait.gate_window) * ds
     )
-    # Gate against the periodic orbit's swing-onset DCM: the swing may only
-    # start when the lateral DCM xi = y + vy/omega0 is close to where the
-    # orbit says it must be — otherwise the clock pauses and the MPC gets
-    # more double-support time to converge. The criterion is the DCM ALONE:
-    # during a hold the frozen reference makes the MPC station-keep, which
-    # regulates xi to the hold point (and decays the stable mode), but can
-    # never satisfy a separate velocity criterion with a nonzero target —
-    # independent pos+vel gating deadlocks (round-2 experiment: the gate
-    # never released from the walk's first double support).
+    # Gate against the PREDICTED swing-onset DCM: propagate the measured
+    # lateral DCM xi = y + vy/omega0 through the REMAINDER of this step's
+    # double-support ZMP ramp (gs.predict_ds_end_dcm) and compare to the
+    # periodic orbit's swing-onset DCM. A transfer that is merely in
+    # progress predicts on-target and is NEVER held — gating on the
+    # instantaneous DCM instead brakes the orbit's natural crossing mid
+    # double support (measured round 3: the hold reference demands the CoM
+    # stop at the DS-end DCM point while it still carries ~0.26 m/s of
+    # crossing velocity; the required lateral braking exceeds what line
+    # feet deliver and the robot rolls over during the hold). The criterion
+    # is the DCM ALONE: during a hold the planner's hold-at-target
+    # reference (gait/planner.py) station-keeps the CoM at the orbit's DCM
+    # position, which the remaining ramp then carries exactly onto the
+    # swing-onset target — so the predictive criterion is achievable and
+    # the gate cannot deadlock (round-2 failure mode).
     omega0_g = jnp.sqrt(jnp.asarray(-srbd.GRAVITY, dtype) / cfg.com_height)
     W_g = params.steps.step_width
-    t_gate = params.gait.start_time + jnp.maximum(step_f, 0.0) * half + 0.999 * ds
-    y_orb_g, vy_orb_g = gs.lateral_orbit_reference(
-        params.gait, t_gate[None], omega0_g, W_g
-    )
     # Centerline implied by the upcoming stance foot (feet-relative
     # anchoring, matching gait/planner.py).
     next_swing_left = jnp.mod(jnp.maximum(step_f, 0.0), 2.0) < 0.5
     y_stance_g = jnp.where(next_swing_left, feet_now[1, 1], feet_now[0, 1])
     y_line_g = y_stance_g + jnp.where(next_swing_left, W_g, -W_g)
-    xi_target = (
-        y_line_g
-        + params.v_cmd[1] / omega0_g
-        + params.gait.sway_gain * (y_orb_g[0] + vy_orb_g[0] / omega0_g)
+    xi_rel_g = (
+        com_now[1] - y_line_g + (vy_now - params.v_cmd[1]) / omega0_g
     )
-    xi_meas = com_now[1] + (vy_now - params.v_cmd[1]) / omega0_g
+    xi_pred_g = gs.predict_ds_end_dcm(
+        params.gait, omega0_g, W_g, xi_rel_g, t_in_step, next_swing_left
+    )
+    xi_target = params.gait.sway_gain * gs.swing_onset_dcm_nominal(
+        params.gait, omega0_g, W_g, next_swing_left
+    )
     # One-sided release: the transfer moves xi TOWARD the upcoming stance
     # side (right for a left swing); having moved past the target is fine —
     # overshoot is on the stance side where foot placement absorbs it. A
     # two-sided band re-holds on overshoot, exactly when the swing should
     # start.
     gate_err = jnp.where(
-        next_swing_left, xi_meas - xi_target, xi_target - xi_meas
+        next_swing_left, xi_pred_g - xi_target, xi_target - xi_pred_g
     )
     gate_ok = gate_err < params.gait.gate_xi_tol
     # Vertical crouch guard (always armed): never start a swing while the
@@ -608,19 +697,58 @@ def _wbid_tick(
     # capturability levers — the round-2 MuJoCo frontier failure was exactly
     # a fixed-timing swing watching the error outgrow placement authority.
     in_ss_t = in_gait & (t_in_step >= ds)
-    swing_left_t = jnp.mod(jnp.maximum(step_f, 0.0), 2.0) < 0.5
-    y_stance_t = jnp.where(swing_left_t, feet_now[1, 1], feet_now[0, 1])
-    line_y_t = y_stance_t + jnp.where(swing_left_t, W_g, -W_g)
+    # The centerline-relative DCM: swing_left_t == next_swing_left (each
+    # step is [DS][swing], so the "upcoming" swing of the DS gate is this
+    # step's own swing) and the gate block's xi_rel_g is relative to the
+    # same stance centerline.
     speedup = gs.timing_clock_rate(
-        params.gait, omega0_g, W_g, xi_meas - line_y_t, t_in_step,
-        swing_left_t,
+        params.gait, omega0_g, W_g, xi_rel_g, t_in_step,
+        next_swing_left,
+    )
+    # FEASIBILITY cap: never run the clock faster than the rate-limited
+    # swing foot can still reach the landing. At clock rate r the remaining
+    # swing lasts (gait-time remaining)/r of wall time, in which the foot
+    # covers at most swing_xy_rate_max * that — so r <= rate_max * rem /
+    # d_xy. Without this, a large DCM error sped a 0.25 s swing through in
+    # ~110 ms of wall time, the foot landed ~half way to the planned
+    # foothold, and the "capture" step captured nothing (round-3 step-13
+    # trace: the direct cause of the 20-step run's fall).
+    swing_side_i = jnp.where(next_swing_left, 0, 1)
+    d_xy = jnp.linalg.norm(
+        state.landing[:2] - state.swing_xy_ref[swing_side_i]
+    )
+    t_rem_sw = jnp.maximum(half - t_in_step, 1e-3)
+    r_feas = params.gait.swing_xy_rate_max * t_rem_sw / jnp.maximum(
+        d_xy, 1e-6
+    )
+    speedup = jnp.minimum(speedup, jnp.maximum(r_feas, 1.0))
+    # DS slow-down (gait.ds_slow_gain > 0): a lagging transfer gets a
+    # SLOWER clock through the DS tail — never frozen (the freeze gate is a
+    # measured dead end under MuJoCo, see gs.GaitConfig.ds_slow_gain).
+    ds_rate = jnp.clip(
+        1.0
+        - params.gait.ds_slow_gain
+        * jnp.maximum(gate_err - params.gait.gate_xi_tol, 0.0),
+        jnp.maximum(params.gait.ds_rate_min, 1e-2),
+        1.0,
+    )
+    slow_mode = params.gait.ds_slow_gain > 0.0
+    ds_tail_rate = jnp.where(
+        slow_mode,
+        ds_rate,
+        jnp.where(in_ds_tail & ~gate_ok, 0.0, 1.0),
     )
     clock_rate = jnp.where(
-        (in_ds_tail & ~gate_ok) | (in_ds_end & ~z_ok),
-        0.0,
+        in_ds_tail,
+        ds_tail_rate,
         jnp.where(in_ss_t, speedup, 1.0),
     )
-    gate_hold = jnp.where(clock_rate < 0.5, 1.0, 0.0)
+    clock_rate = jnp.where(in_ds_end & ~z_ok, 0.0, clock_rate)
+    # gate_hold marks only FULL freezes: the planner's station-keeping hold
+    # semantics (absolute anchor, zeroed v_cmd, DCM-position reference)
+    # apply to a frozen clock, not a slowed one — a slowed clock keeps the
+    # normal receding references.
+    gate_hold = jnp.where(clock_rate < 1e-6, 1.0, 0.0)
 
     log = TickLog(
         com=com_now,
@@ -634,6 +762,7 @@ def _wbid_tick(
         wbid_pri_res=sol.pri_res,
         mpc_ms=jnp.zeros((), dtype),
         wbid_ms=wbid_ms,
+        q=q_new if cfg.log_q else jnp.zeros((0,), dtype),
     )
     new_state = state._replace(
         q=q_new,

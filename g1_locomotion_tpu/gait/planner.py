@@ -179,7 +179,7 @@ def plan_horizon(
     xi_nom_x = gs.touchdown_dcm_nominal_x(gait, omega0, v_cmd[0])
     x_land = (
         ramp_x + v_cmd[0] * (half - t_in_step) + c0
-        + steps.dcm_scale * (xi_pred_x - xi_nom_x)
+        + fs.dcm_scale_sagittal(steps) * (xi_pred_x - xi_nom_x)
     )
     landing = jnp.stack([x_land, y_land, jnp.zeros_like(x_land)])
 
@@ -255,13 +255,25 @@ def plan_horizon(
     x_anchor = jnp.where(recede, x0[3] - x_orb_now, ramp_x)
     x_ref_line = x_anchor + v_cmd[0] * adv + x_orb
     vx_ref = jnp.where(in_gait_k, v_cmd[0], 0.0) + vx_orb
-    y_ref = line_y + v_cmd[1] * adv + gait.sway_gain * y_orb
+    # Lateral: during a weight-transfer HOLD the reference is the transfer
+    # TARGET — the swing-onset DCM as a *position* (y_orb + vy_orb/omega0),
+    # with zero velocity reference. A station-keeping MPC regulates y -> ref
+    # with vy -> 0, so xi converges to exactly the gate's release criterion
+    # (engine/tick.py xi_target); holding the plain orbit *position* instead
+    # leaves xi short by sway*vy_orb/omega0 (~4 cm at the nominal gait) and
+    # the gate deadlocks at DS start (round-2 experiment). On release the
+    # stable-mode mismatch (y past the orbit point, vy ~ 0) decays at
+    # e^{-omega0 t}; the DCM — the swing's fate — starts right.
+    y_ref = line_y + v_cmd[1] * adv + gait.sway_gain * (
+        y_orb + hold * vy_orb / omega0
+    )
     p_ref = jnp.stack(
         [x_ref_line, y_ref, jnp.full((N,), com_height, dtype)], axis=1
     )
     v_ref_xy = jnp.stack(
         [vx_ref,
-         jnp.where(in_gait_k, v_cmd[1], 0.0) + gait.sway_gain * vy_orb],
+         (jnp.where(in_gait_k, v_cmd[1], 0.0) + gait.sway_gain * vy_orb)
+         * (1.0 - hold)],
         axis=1,
     )
     x_ref = jnp.zeros((N, 13), dtype)

@@ -67,6 +67,18 @@ class GaitConfig(NamedTuple):
                                   # (0 = disabled)
     timing_tol: jnp.ndarray       # [m] touchdown-DCM error deadband
     timing_rate_max: jnp.ndarray  # cap on the sped-up clock rate (>= 1)
+    # Double-support SLOW-DOWN (the DS-side half of step-timing adaptation):
+    # when the DCM propagated to swing onset (predict_ds_end_dcm) lags the
+    # orbit's swing-onset target by more than gate_xi_tol, run the gait
+    # clock SLOWER during the gate_window tail of double support — a longer
+    # (never frozen) weight transfer. Unlike the round-2/3 clock-freeze
+    # gate (a measured dead end: a frozen clock + station-keeping hold
+    # demands lateral force line feet cannot deliver and the robot rolls
+    # over during the hold), a slowed clock keeps every reference evolving
+    # and cannot deadlock. 0 = disabled.
+    ds_slow_gain: jnp.ndarray     # clock-rate reduction per m of predicted
+                                  # swing-onset DCM shortfall
+    ds_rate_min: jnp.ndarray      # floor on the slowed clock rate (> 0)
 
 
 def default_gait(dtype=jnp.float32) -> GaitConfig:
@@ -84,6 +96,8 @@ def default_gait(dtype=jnp.float32) -> GaitConfig:
         timing_gain=jnp.asarray(0.0, dtype),
         timing_tol=jnp.asarray(0.05, dtype),
         timing_rate_max=jnp.asarray(2.0, dtype),
+        ds_slow_gain=jnp.asarray(0.0, dtype),
+        ds_rate_min=jnp.asarray(0.4, dtype),
     )
 
 
@@ -231,6 +245,46 @@ def touchdown_dcm_nominal(cfg: GaitConfig, omega0, W, swing_is_left):
     X0 = lateral_orbit_state(cfg, omega0, W)
     xi0 = X0[0] + X0[1] / omega0
     return jnp.where(swing_is_left, -xi0, xi0)
+
+
+def swing_onset_dcm_nominal(cfg: GaitConfig, omega0, W, swing_is_left):
+    """Nominal centerline-relative DCM at SWING ONSET (end of this step's
+    double support) on the periodic orbit — the weight-transfer gate's
+    target (engine/tick.py)."""
+    X0 = lateral_orbit_state(cfg, omega0, W)
+    X = _orbit_eval(cfg, omega0, W, X0, cfg.double_support_duration)
+    xi = X[0] + X[1] / omega0
+    return jnp.where(swing_is_left, xi, -xi)
+
+
+def predict_ds_end_dcm(
+    cfg: GaitConfig,
+    omega0,
+    W,
+    xi,          # measured centerline-relative DCM y + vy/omega0
+    t_in,        # time into the current step (must be within double support)
+    swing_is_left,
+):
+    """Propagate the measured DCM through the REMAINDER of this step's
+    double-support ZMP ramp to swing onset (same affine DCM map as
+    :func:`predict_touchdown_dcm`, stopped at the DS end).
+
+    The weight-transfer gate compares this against
+    :func:`swing_onset_dcm_nominal`: a transfer that is merely *in
+    progress* predicts on-target and is never held — gating on the
+    instantaneous DCM instead brakes the orbit's natural crossing mid
+    double support (measured round 3: the MPC fights the LIPM momentum,
+    demands lateral force real feet cannot deliver, and the robot rolls
+    over during the hold)."""
+    ds = cfg.double_support_duration
+    xi_e = jnp.where(swing_is_left, xi, -xi)
+    t_rem = jnp.clip(ds - t_in, 0.0, None)
+    pdot = -2.0 * W / jnp.maximum(ds, 1e-6)
+    p_now = W + pdot * jnp.clip(t_in, 0.0, ds)
+    off = pdot / omega0
+    p1 = -W
+    xi_e = (p1 + off) + (xi_e - p_now - off) * jnp.exp(omega0 * t_rem)
+    return jnp.where(swing_is_left, xi_e, -xi_e)
 
 
 def predict_touchdown_dcm(

@@ -9,7 +9,11 @@ line PER STEP with the quantities the round-2/3 failure analysis needs:
 * sagittal: pitch extremes, forward velocity,
 * timing: the gait-clock speedup actually used (step-timing adaptation).
 
-Usage: python tools/diag_mjwalk.py [n_steps] [width:ds:tgain:ttol:tmax[:vx[:dcm]]]
+Usage: python tools/diag_mjwalk.py [n_steps] \
+    [width:ds:tgain:ttol:tmax[:vx[:dcm[:gwin[:gtol[:dslow[:dsmin]]]]]]]
+(gwin/gtol: weight-transfer gate window fraction + xi tolerance — 0 0.03
+by default, i.e. gate off. dslow/dsmin: DS slow-down gain + rate floor —
+0 0.4 by default; dslow > 0 switches the gate window to the slow-down law.)
 """
 
 import json
@@ -59,6 +63,11 @@ def main():
     width, ds, tgain, ttol, tmax = p[0], p[1], p[2], p[3], p[4]
     vx = p[5] if len(p) > 5 else 0.1
     dcm = p[6] if len(p) > 6 else 1.0
+    gwin = p[7] if len(p) > 7 else 0.0
+    gtol = p[8] if len(p) > 8 else 0.03
+    dslow = p[9] if len(p) > 9 else 0.0
+    dsmin = p[10] if len(p) > 10 else 0.4
+    gztol = p[11] if len(p) > 11 else 0.06  # 99 = crouch guard off
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
     cfg = eng.walking_config()
@@ -74,6 +83,11 @@ def main():
             timing_gain=jnp.asarray(tgain, jnp.float64),
             timing_tol=jnp.asarray(ttol, jnp.float64),
             timing_rate_max=jnp.asarray(tmax, jnp.float64),
+            gate_window=jnp.asarray(gwin, jnp.float64),
+            gate_xi_tol=jnp.asarray(gtol, jnp.float64),
+            ds_slow_gain=jnp.asarray(dslow, jnp.float64),
+            ds_rate_min=jnp.asarray(dsmin, jnp.float64),
+            gate_z_tol=jnp.asarray(gztol, jnp.float64),
         ),
     )
     loop = MujocoLoop(model, cfg=cfg, params=params)
@@ -92,7 +106,8 @@ def main():
         if step_rec is not None:
             rows.append(step_rec)
             print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
-                              for k, v in step_rec.items()}), flush=True)
+                              for k, v in step_rec.items()
+                              if not k.startswith("_")}), flush=True)
 
     for t in range(total):
         log = loop.run(1)
@@ -122,19 +137,46 @@ def main():
                 "y_rel0": round(float(com[1] - stance_y), 4),
                 "roll0": round(float(rpy[0]), 4),
                 "vy0": round(float(qv[1]), 4),
-                "fy_plan_imp": 0.0, "fy_mj_imp": 0.0, "ss_ms": 0,
+                "fy_plan_imp": 0.0, "fy_mj_imp": 0.0,
+                "fy_plan_ds": 0.0, "fy_mj_ds": 0.0,
+                "ss_ms": 0,
                 "wall_ms": 0, "roll_min": 0.0, "roll_max": 0.0,
+                # Actual (force-sensed) touchdown of the PREVIOUS step's
+                # swing foot vs the scheduled one: ms into this step's DS
+                # until its ground force appears (td_lag_ms; 0 = already
+                # loaded at the schedule flip) and its xy distance from the
+                # planned landing at that moment (td_xy_err).
+                "td_lag_ms": -1, "td_xy_err": -1.0,
             }
+            land_prev = np.asarray(loop.state.landing).copy()
             prev_step = step
         if acc is not None and step == acc["step"]:
             acc["roll_min"] = min(acc["roll_min"], float(rpy[0]))
             acc["roll_max"] = max(acc["roll_max"], float(rpy[0]))
             acc["wall_ms"] += 1  # wall ticks in this step; < nominal
                                  # half-step ms => timing adaptation fired
+            swing_left = acc["step"] % 2 == 0
             if in_ss:
                 acc["fy_plan_imp"] += fy_plan * 1e-3
                 acc["fy_mj_imp"] += float(f_mj[1]) * 1e-3
                 acc["ss_ms"] += 1
+            else:
+                acc["fy_plan_ds"] += fy_plan * 1e-3
+                acc["fy_mj_ds"] += float(f_mj[1]) * 1e-3
+                # This step's DS: has the PREVIOUS step's swing foot landed?
+                if acc["step"] > 0 and acc["td_lag_ms"] < 0:
+                    prev_left = (acc["step"] - 1) % 2 == 0
+                    fz = loop.foot_normal_forces()
+                    f_sw = fz[0] if prev_left else fz[1]
+                    if f_sw > 20.0:
+                        acc["td_lag_ms"] = acc.get("_ds_ticks", 0)
+                        X = rb.fk(model, jnp.asarray(loop.mj_data.qpos))
+                        p_sw = np.asarray(rb.frame_pose(
+                            model, X, idx.feet[0 if prev_left else 1]).p)
+                        acc["td_xy_err"] = round(
+                            float(np.linalg.norm(p_sw[:2] - land_prev[:2])), 4)
+                    else:
+                        acc["_ds_ticks"] = acc.get("_ds_ticks", 0) + 1
         z = com[2]
         if not np.isfinite(z) or z < 0.40:
             flush(acc)
