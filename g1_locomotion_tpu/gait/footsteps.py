@@ -27,6 +27,13 @@ class FootstepConfig(NamedTuple):
                                # predicted-vs-nominal touchdown DCM error
                                # (gait/schedule.predict_touchdown_dcm;
                                # 1 = deadbeat, 0 = fixed plan)
+    dcm_scale_x: jnp.ndarray = jnp.nan  # sagittal-placement gain; NaN
+                               # (default) = follow dcm_scale. Split knob:
+                               # the slow-gait envelope needs damped LATERAL
+                               # placement (over-stepping at small nominal
+                               # steps) with full sagittal capture (round-3
+                               # sweep: dcm 0.8 both-axes is stable at
+                               # 0.05 m/s but walks in place)
 
 
 def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
@@ -35,6 +42,14 @@ def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
         step_width=jnp.asarray(0.12, dtype),
         raibert_gain=jnp.asarray(0.03, dtype),
         dcm_scale=jnp.asarray(1.0, dtype),
+        dcm_scale_x=jnp.asarray(jnp.nan, dtype),
+    )
+
+
+def dcm_scale_sagittal(cfg: FootstepConfig) -> jnp.ndarray:
+    """Sagittal DCM-placement gain: dcm_scale_x, or dcm_scale where NaN."""
+    return jnp.where(
+        jnp.isnan(cfg.dcm_scale_x), cfg.dcm_scale, cfg.dcm_scale_x
     )
 
 

@@ -15,7 +15,10 @@ Prints one JSON line per config with stability/tracking scores.
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -52,17 +55,21 @@ def variants(wave: int):
             ("sway08", {"g_sway_gain": 0.8}),
         ]
     v = 0.05
+    # Wave-1 history: of the first 8 variants (base, dcm07, dcm05, swing020,
+    # ds030, sway09, dcm07-ds030, dcm08-t3) only dcm08-t3 was STABLE — but it
+    # walks in place (v_real ~ 0.004): the shared dcm_scale damps sagittal
+    # capture along with the lateral over-stepping it was meant to fix.
+    # This wave splits the axes (s_dcm_scale_x).
     return v, [
-        ("base", {}),
-        ("dcm07", {"s_dcm_scale": 0.7}),
-        ("dcm05", {"s_dcm_scale": 0.5}),
-        ("swing020", {"g_swing_duration": 0.20,
-                      "g_double_support_duration": 0.30}),
-        ("ds030", {"g_double_support_duration": 0.30}),
-        ("sway09", {"g_sway_gain": 0.9}),
-        ("dcm07-ds030", {"s_dcm_scale": 0.7,
-                         "g_double_support_duration": 0.30}),
         ("dcm08-t3", {"s_dcm_scale": 0.8, "g_timing_gain": 3.0}),
+        ("dcm08x10-t3", {"s_dcm_scale": 0.8, "s_dcm_scale_x": 1.0,
+                         "g_timing_gain": 3.0}),
+        ("dcm08x12-t3", {"s_dcm_scale": 0.8, "s_dcm_scale_x": 1.2,
+                         "g_timing_gain": 3.0}),
+        ("dcm08x15-t3", {"s_dcm_scale": 0.8, "s_dcm_scale_x": 1.5,
+                         "g_timing_gain": 3.0}),
+        ("dcm07x10", {"s_dcm_scale": 0.7, "s_dcm_scale_x": 1.0}),
+        ("dcm08x10", {"s_dcm_scale": 0.8, "s_dcm_scale_x": 1.0}),
     ]
 
 
