@@ -55,6 +55,11 @@ class QPConfig(NamedTuple):
     # (XLA's batched cholesky/trisolve are sequential and 40-230 ms per
     # batched call on TPU; the recursive Schur inverse is MXU-bound)
     polish_rounds: int = 3  # active-set re-detection rounds (1 = cheapest)
+    polish_refine: int = 0  # iterative-refinement passes on the polish KKT
+    # solve (LU path only): x += K^-1 (rhs - K x), reusing the factors.
+    # Buys ~1 digit of f32 accuracy per pass on the ill-conditioned walking
+    # KKTs — the f32/TPU knife-edge mitigation (round-3: the f64-validated
+    # walk falls at plain f32 on-chip).
     iter_precision: str = "highest"  # matmul precision for the ADMM iteration
     # loop only (factorization/polish always run at highest). TPU f32
     # "highest" = 6 bf16 MXU passes; "high" = 3 passes. Profiling (round 2)
@@ -308,14 +313,22 @@ def _polish(P, q, A, l, u, x, y, cfg: QPConfig, rounds: int = 3):
             y_p = spd_inverse(S) @ (AmHi @ (-q) - b_t)
             x_p = Hr_inv @ (-q - A_m.T @ y_p)
         else:
-            # Reference path: exact indefinite-KKT LU solve.
+            # Reference path: exact indefinite-KKT LU solve (+ optional
+            # iterative refinement reusing the factors — cfg.polish_refine).
             top = jnp.concatenate([P + reg * eye_n, A_m.T], axis=1)
             bot = jnp.concatenate(
                 [A_m, -jnp.diag(1.0 - mask) - reg * eye_m], axis=1
             )
             Kkt = jnp.concatenate([top, bot], axis=0)
             rhs = jnp.concatenate([-q, b_t])
-            sol = jnp.linalg.solve(Kkt, rhs)
+            if cfg.polish_refine == 0:
+                sol = jnp.linalg.solve(Kkt, rhs)  # bit-stable default path
+            else:
+                lu_piv = jax.scipy.linalg.lu_factor(Kkt)
+                sol = jax.scipy.linalg.lu_solve(lu_piv, rhs)
+                for _ in range(cfg.polish_refine):
+                    r = rhs - Kkt @ sol
+                    sol = sol + jax.scipy.linalg.lu_solve(lu_piv, r)
             x_p, y_p = sol[:n], sol[n:]
         res_p = kkt(x_p, y_p)
         better = res_p < best
