@@ -58,8 +58,8 @@ def constrained_step(
     if body_X is None:
         body_X = rb.fk(model, q)
 
-    M = dyn.crba(model, q)
-    h = dyn.bias_force(model, q, v)
+    M = dyn.crba(model, q, body_X)
+    h = dyn.bias_force(model, q, v, body_X=body_X)
     S_tau = jnp.concatenate([jnp.zeros(6, dtype), tau])
 
     # Per-contact jacobians, drifts (one shared jvp pass), position errors.

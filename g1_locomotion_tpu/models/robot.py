@@ -236,19 +236,22 @@ def load_robot_from_urdf(urdf_string: str, dtype=jnp.float32) -> RobotModel:
 
 def fk(model: RobotModel, q: jnp.ndarray) -> Transform:
     """World placement of every body: returns Transform with stacked leading body
-    axis (R: (nb,3,3), p: (nb,3)). Single-sample; vmap for batches."""
+    axis (R: (nb,3,3), p: (nb,3)). Single-sample; vmap for batches.
+
+    All joint-local rotations are built in ONE vectorized Rodrigues pass;
+    only the parent-chain composition (2 small matmuls per body) remains
+    sequential — it is an ordered product along each kinematic chain, which
+    no masked contraction can express."""
     base_R = rot.quat_to_matrix(q[3:7])
     base_p = q[0:3]
     Rs = [base_R]
     ps = [base_p]
-    qj = q[7:]
+    R_pb_all = model.joint_origin_R[1:] @ _axis_angle_matrix(
+        model.joint_axis[1:], q[7:, None, None]
+    )  # (nj, 3, 3) joint placements in parent, one fused pass
     for b in range(1, model.nb):
         pa = model.parent[b]
-        axis = model.joint_axis[b]
-        theta = qj[b - 1]
-        Rj = _axis_angle_matrix(axis, theta)
-        R_pb = model.joint_origin_R[b] @ Rj
-        R_w = Rs[pa] @ R_pb
+        R_w = Rs[pa] @ R_pb_all[b - 1]
         p_w = Rs[pa] @ model.joint_origin_p[b] + ps[pa]
         Rs.append(R_w)
         ps.append(p_w)

@@ -101,7 +101,7 @@ def solve_ihqp(
 
     qddot = x[:nv]
     forces = x[nv:].reshape(NF, 3)
-    tau_full = dyn.rnea(model, q, v, qddot) - Jc_T @ x[nv:]
+    tau_full = dyn.rnea(model, q, v, qddot, body_X=body_X) - Jc_T @ x[nv:]
     tau_act = jnp.clip(tau_full[6:], -model.tau_max, model.tau_max)
     return WBIDSolution(
         qddot=qddot,

@@ -67,7 +67,7 @@ def solve(
     # actuator limits: the QP's torque rows hold within ADMM tolerance
     # (~0.5 N.m worst-case slack on ~20 of 6500 walking ticks), and a real
     # motor saturates at the limit — same clip the MuJoCo bridge applies.
-    tau_full = dyn.rnea(model, q, v, qddot) - Jc_T @ sol.x[nv:]
+    tau_full = dyn.rnea(model, q, v, qddot, body_X=body_X) - Jc_T @ sol.x[nv:]
     base_res = tau_full[0:6]
     tau_act = jnp.clip(tau_full[6:], -model.tau_max, model.tau_max)
     return WBIDSolution(

@@ -228,8 +228,8 @@ def build_qp(
 
     if body_X is None:
         body_X = rb.fk(model, q)
-    M = dyn.crba(model, q)
-    h = dyn.bias_force(model, q, v)
+    M = dyn.crba(model, q, body_X)
+    h = dyn.bias_force(model, q, v, body_X=body_X)
 
     # Contact point jacobians (world linear, 3 x nv each).
     Jc = [rb.frame_jacobian(model, q, body_X, f)[:3] for f in idx.contacts]

@@ -165,3 +165,34 @@ def test_rnea_vmap_jit(g1, q_stand):
     f = jax.jit(jax.vmap(lambda q, v: dyn.rnea(g1, q, v, v * 0)))
     out = f(qs, vs)
     assert out.shape == (B, g1.nv)
+
+
+@pytest.mark.parametrize(
+    "variant", ["g1_23dof", "g1_29dof", "g1_29dof_with_hand", "g1_dual_arm"]
+)
+def test_masked_dynamics_match_sequential_oracle(variant, rng):
+    """The world-Plücker masked RNEA/CRBA (production path, round 3 — O(1)
+    trace depth, mask matmuls) must agree with the independently-derived
+    sequential Featherstone propagation (round-1/2 path, kept as the oracle)
+    on every robot variant."""
+    model = rb.load_robot(variant, dtype=jnp.float64)
+    for _ in range(2):
+        q = jnp.concatenate(
+            [
+                jnp.asarray(rng.normal(size=3) * 0.5),
+                rot.rpy_to_quat(jnp.asarray(rng.normal(size=3) * 0.8)),
+                jnp.asarray(rng.normal(size=model.nj) * 0.6),
+            ]
+        )
+        v = jnp.asarray(rng.normal(size=model.nv))
+        a = jnp.asarray(rng.normal(size=model.nv))
+        np.testing.assert_allclose(
+            np.asarray(dyn.rnea(model, q, v, a)),
+            np.asarray(dyn._rnea_unrolled(model, q, v, a)),
+            atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dyn.crba(model, q)),
+            np.asarray(dyn._crba_unrolled(model, q)),
+            atol=1e-10,
+        )
