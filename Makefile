@@ -32,6 +32,16 @@ test-par:
 bench:
 	$(PY) bench.py
 
+# Flagship walk at float32 (8 steps + settle on the walking invariants);
+# runs on the TPU under the ambient platform, `make verify-f32 F32=cpu`
+# forces the CPU f32 control run. ~10 min cold.
+verify-f32:
+	$(PY) tools/verify_walk_f32.py $(F32) n_periods=180
+
+# MuJoCo walking robustness ensemble (mid-walk pushes; see the tool docstring).
+ensemble-mj:
+	$(PY) tools/ensemble_mjwalk.py 6 4 width=0.16 ds=0.35 tgain=0 dcm=1.0 gztol=0.06 lock=1.0
+
 clean:
 	rm -f native/libqp_solver.so
 	find . -name __pycache__ -type d -exec rm -rf {} +

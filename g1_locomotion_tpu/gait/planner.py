@@ -82,6 +82,13 @@ def plan_horizon(
     hold: jnp.ndarray | float = 0.0,  # 1 while the weight-transfer gate
                               # pauses the clock: switches the sagittal
                               # anchor from receding to absolute (see below)
+    prev_landing: jnp.ndarray | None = None,  # (3,) the landing committed at
+                              # the previous replan — used with lock_flag
+    lock_flag: jnp.ndarray | float = 0.0,  # 1 past the landing-lock swing
+                              # phase (gait.landing_lock): keep prev_landing
+                              # so the whole plan (landing, c_hor rows,
+                              # landing_mask geometry) stays consistent with
+                              # the foothold the swing foot is converging to
 ) -> MPCPlan:
     dtype = x0.dtype
     hold = jnp.asarray(hold, dtype)
@@ -182,6 +189,9 @@ def plan_horizon(
         + fs.dcm_scale_sagittal(steps) * (xi_pred_x - xi_nom_x)
     )
     landing = jnp.stack([x_land, y_land, jnp.zeros_like(x_land)])
+    if prev_landing is not None:
+        lock = jnp.asarray(lock_flag, dtype)
+        landing = jnp.where(lock > 0.5, prev_landing, landing)
 
     # Horizon contact positions: stance contacts hold their measured
     # position; swing-side contacts switch to the planned landing point for

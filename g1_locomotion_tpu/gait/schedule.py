@@ -79,6 +79,13 @@ class GaitConfig(NamedTuple):
     ds_slow_gain: jnp.ndarray     # clock-rate reduction per m of predicted
                                   # swing-onset DCM shortfall
     ds_rate_min: jnp.ndarray      # floor on the slowed clock rate (> 0)
+    # Landing LOCK: swing-phase fraction after which the landing target is
+    # FROZEN for the current swing (1.0 = never lock, the round-2 behavior).
+    # Late capture-point updates chase a target the rate-limited swing foot
+    # cannot reach (measured round 3: 2-8 cm touchdown xy error per step in
+    # MuJoCo) — locking converts the tail of the swing into a converging
+    # servo so the planner's assumed foothold is the realized one.
+    landing_lock: jnp.ndarray
 
 
 def default_gait(dtype=jnp.float32) -> GaitConfig:
@@ -98,6 +105,7 @@ def default_gait(dtype=jnp.float32) -> GaitConfig:
         timing_rate_max=jnp.asarray(2.0, dtype),
         ds_slow_gain=jnp.asarray(0.0, dtype),
         ds_rate_min=jnp.asarray(0.4, dtype),
+        landing_lock=jnp.asarray(1.0, dtype),
     )
 
 

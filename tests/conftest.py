@@ -43,6 +43,14 @@ def g1():
 
 
 @pytest.fixture(scope="session")
+def g1_f32():
+    from g1_locomotion_tpu.models.robot import load_robot
+    import jax.numpy as jnp
+
+    return load_robot("g1_23dof", dtype=jnp.float32)
+
+
+@pytest.fixture(scope="session")
 def q_stand(g1):
     """Reference initial configuration (config.py:2-39), internal wxyz layout."""
     from g1_locomotion_tpu.engine.state import q_init_standing

@@ -118,3 +118,39 @@ def test_walk_velocity_tracking(g1, v):
     t0, t1 = 1500, 4500
     v_real = (com[t1, 0] - com[t0, 0]) / ((t1 - t0) * 1e-3)
     assert abs(v_real - v) < 0.20 * v + 0.02, (v, v_real)
+
+
+@pytest.mark.slow
+def test_walk_f32_robust(g1_f32):
+    """The flagship walk at float32 — the TPU serving precision (BASELINE
+    north star: the *cascade* is TPU-native, not just the solver). Plain f32
+    falls (TPU and CPU identically; a precision phenomenon): at f32 the late
+    capture-point updates move the foothold 2-8 cm after the rate-limited
+    swing foot can no longer reach it. walking_scenario_f32_robust pins the
+    validated f32 bundle — landing lock 0.65 (decisive), over-unity DCM
+    placement + step-timing adaptation, relaxed crouch guard — and
+    walking_config_f32 the f32 QP numerics (engine/tick.py docstrings;
+    on-chip record in docs/BENCHMARKS.md; tools/verify_walk_f32.py is the
+    standalone runner)."""
+    from g1_locomotion_tpu.core import rotations as rot
+
+    cfg = eng.walking_config_f32()
+    params = eng.walking_scenario_f32_robust(
+        jnp.float32, n_steps=8.0, v_cmd=(0.1, 0.0)
+    )
+    rollout = eng.make_rollout(g1_f32, cfg)
+    state = eng.init_state(g1_f32, cfg, jnp.float32)
+    final, logs = jax.jit(lambda s: rollout(s, params, 180))(state)
+    com = np.asarray(logs.com).reshape(-1, 3)
+    assert np.isfinite(com).all()
+    assert com[:, 2].min() > 0.45, com[:, 2].min()
+    assert np.abs(com[:, 1]).max() < 0.25, np.abs(com[:, 1]).max()
+    np.testing.assert_allclose(com[-1, 2], cfg.com_height, atol=0.02)
+    assert float(jnp.abs(final.v).max()) < 0.3
+    rpy = np.asarray(rot.quat_to_rpy(final.q[3:7]))
+    assert np.abs(rpy[:2]).max() < 0.15, rpy
+    contact = np.asarray(logs.contact).reshape(-1, 4)
+    left_up = (contact[:, 0] < 0.5).astype(int)
+    right_up = (contact[:, 2] < 0.5).astype(int)
+    assert int(np.clip(np.diff(left_up), 0, 1).sum()) == 4
+    assert int(np.clip(np.diff(right_up), 0, 1).sum()) == 4

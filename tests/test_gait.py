@@ -307,3 +307,56 @@ def test_timing_clock_rate_speeds_up_and_caps():
     assert float(
         schedule.timing_clock_rate(cfg0, w0, W, xi_orbit + 0.3, t_in, sl)
     ) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_landing_lock_freezes_committed_foothold():
+    """Past the landing-lock swing fraction, plan_horizon must keep the
+    previously committed foothold verbatim (landing AND the swing-contact
+    horizon rows), so the rate-limited swing foot converges to the foothold
+    the plan assumes (GaitConfig.landing_lock; engine/tick.py wires the flag
+    from phase_info progress)."""
+    from g1_locomotion_tpu.gait import planner
+
+    f64 = jnp.float64
+    cfg = schedule.default_gait(f64)
+    steps = footsteps.default_footsteps(f64)
+    x0 = (
+        jnp.zeros(13, f64)
+        .at[5].set(0.598)      # com z
+        .at[9].set(0.1)        # vx
+        .at[10].set(0.05)      # vy (off-orbit: capture point moves the landing)
+        .at[12].set(-9.80665)
+    )
+    cpos = jnp.array(
+        [[-0.05, 0.12, 0.0], [0.12, 0.12, 0.0],
+         [-0.05, -0.12, 0.0], [0.12, -0.12, 0.0]], f64
+    )
+    # Mid-swing clock time past a 0.65 lock fraction (step 0 = left swing).
+    t = float(cfg.start_time) + float(cfg.double_support_duration) \
+        + 0.8 * float(cfg.swing_duration)
+    _, in_swing, _, prog = schedule.phase_info(cfg, jnp.asarray(t, f64))
+    assert bool(in_swing) and float(prog) > 0.65
+
+    args = (cfg, steps, jnp.array([0.1, 0.0], f64), x0, cpos,
+            jnp.asarray(t, f64), 10, 0.04, 0.598)
+    free = planner.plan_horizon(*args)
+    prev = jnp.array([0.42, 0.33, 0.0], f64)
+    locked = planner.plan_horizon(*args, prev_landing=prev, lock_flag=1.0)
+    unlocked = planner.plan_horizon(*args, prev_landing=prev, lock_flag=0.0)
+
+    np.testing.assert_allclose(np.asarray(locked.landing), np.asarray(prev))
+    np.testing.assert_allclose(
+        np.asarray(unlocked.landing), np.asarray(free.landing)
+    )
+    assert abs(float(free.landing[0]) - 0.42) > 1e-3  # lock actually binds
+    # The horizon contact rows follow the locked foothold: wherever the
+    # landing mask marks a swing-side contact, its xy must sit at the locked
+    # point plus the same (heel/toe) offset the free plan applies.
+    mask = np.asarray(locked.landing_mask) > 0.5
+    assert mask.any()
+    delta = np.asarray(locked.c_hor) - np.asarray(free.c_hor)
+    expect = np.asarray(prev - free.landing)
+    np.testing.assert_allclose(
+        delta[mask], np.broadcast_to(expect, delta[mask].shape), atol=1e-12
+    )
+    np.testing.assert_allclose(delta[~mask], 0.0, atol=1e-12)
