@@ -55,6 +55,7 @@ class StackIndices(NamedTuple):
     pelvis: int
     hands: Tuple[int, ...] = ()  # hand point contacts (empty if the
                                  # variant has no arms/hands)
+    torso: int = -1              # torso_link (-1 if the variant has none)
 
     @staticmethod
     def from_model(model: RobotModel) -> "StackIndices":
@@ -65,6 +66,10 @@ class StackIndices(NamedTuple):
             hands=tuple(
                 model.frame_index(f) for f in HAND_FRAMES
                 if f in model.frame_names
+            ),
+            torso=(
+                model.frame_index("torso_link")
+                if "torso_link" in model.frame_names else -1
             ),
         )
 
@@ -280,6 +285,28 @@ def build_qp(
         a_des - base_drift,
         gains.w_base,
     )
+
+    # --- Optional torso-orientation task (Cartesian rows 3:6 on torso_link,
+    # the same capability as the pelvis task above pointed at a different
+    # link — OpenSoT Cartesian targets any link). On waist-roll/pitch
+    # variants the upper body is otherwise held only by the postural task;
+    # tracking the PLAN's base orientation keeps the SRBD single-rigid-body
+    # assumption honest above the waist. Statically compiled out unless the
+    # caller supplies refs.torso_R (EngineConfig.torso_task). ---
+    if refs.torso_R is not None and idx.torso >= 0:
+        J_torso = rb.frame_jacobian(model, q, body_X, idx.torso)
+        torso_R = rb.frame_pose(model, body_X, idx.torso).R
+        torso_w = J_torso[3:6] @ v
+        torso_drift = _frames_drift(model, q, v, (idx.torso,), rows=slice(3, 6))
+        a_des_t = (
+            gains.torso_kp_ang * _rotation_error(refs.torso_R, torso_R)
+            + gains.torso_kd_ang * (refs.base_angvel - torso_w)
+        )
+        add(
+            jnp.concatenate([J_torso[3:6], zeros_f], axis=1),
+            a_des_t - torso_drift,
+            gains.w_torso,
+        )
 
     # --- Optional hand Cartesian tasks (hand point contacts; frames from
     # g1_23dof.urdf:855-859 / synthesized at load). OpenSoT's Cartesian task

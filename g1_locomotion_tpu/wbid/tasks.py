@@ -69,6 +69,15 @@ class WBIDGains(NamedTuple):
     hand_kp: jnp.ndarray
     hand_kd: jnp.ndarray
     w_hand: jnp.ndarray
+    # Optional torso-orientation task (Cartesian rows 3:6 on torso_link —
+    # OpenSoT's Cartesian task targets any link, wbid.py:67-75 does exactly
+    # this for the pelvis). On variants with waist roll/pitch DoFs the upper
+    # body above the waist is otherwise held only by the postural task, and
+    # the SRBD (one rigid body) cannot see it flop. Gated statically by
+    # EngineConfig.torso_task via WBIDReferences.torso_R.
+    torso_kp_ang: jnp.ndarray
+    torso_kd_ang: jnp.ndarray
+    w_torso: jnp.ndarray
     # Joint-limit viability lookahead [s]: the acceleration bound brakes a
     # joint so it can stop within this window. The reference's JointLimits
     # run at dt=1 ms with 10x velocity headroom (wbid.py:196-204) — bounds of
@@ -111,6 +120,9 @@ def default_gains(dtype=jnp.float32) -> WBIDGains:
         hand_kp=jnp.asarray(100.0, dtype),
         hand_kd=jnp.asarray(20.0, dtype),
         w_hand=jnp.asarray(1.0, dtype),
+        torso_kp_ang=jnp.asarray(60.0, dtype),
+        torso_kd_ang=jnp.asarray(15.0, dtype),
+        w_torso=jnp.asarray(2.0, dtype),
         qlim_lookahead=jnp.asarray(0.02, dtype),
     )
 
@@ -144,3 +156,8 @@ class WBIDReferences(NamedTuple):
     hand_pos: jnp.ndarray | None = None  # (2, 3) optional hand point-contact
                                # position targets (L, R); None (default)
                                # compiles the stack without hand tasks
+    torso_R: jnp.ndarray | None = None  # (3, 3) optional torso_link
+                               # orientation target (see WBIDGains.w_torso);
+                               # None (default) compiles the stack without
+                               # the torso task. Angular-velocity target is
+                               # base_angvel (the plan's), feedforward zero.
