@@ -34,9 +34,13 @@ bench:
 
 # Flagship walk at float32 (8 steps + settle on the walking invariants);
 # runs on the TPU under the ambient platform, `make verify-f32 F32=cpu`
-# forces the CPU f32 control run. ~10 min cold.
+# forces the CPU f32 control run. ~10 min cold. 220 periods: the TPU f32
+# draw takes a different chaotic path than CPU f32 and ends the walk with a
+# larger settle transient (pitch -0.23 rad at t=7.2 s); both converge
+# exponentially and pass the full bar by 8.8 s (round-4 measurement,
+# tools/diag_f32_settle.py; on-chip record in docs/BENCHMARKS.md).
 verify-f32:
-	$(PY) tools/verify_walk_f32.py $(F32) n_periods=180
+	$(PY) tools/verify_walk_f32.py $(F32) n_periods=220
 
 # MuJoCo walking robustness ensemble (mid-walk pushes; see the tool docstring).
 ensemble-mj:

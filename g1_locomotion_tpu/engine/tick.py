@@ -67,6 +67,30 @@ class EngineConfig(NamedTuple):
     # roll/pitch DoFs (g1_29dof*) — the 23-DoF torso is rigid to the pelvis
     # modulo yaw, so the default walk never pays for the extra task rows.
     torso_task: bool = False
+    # MPC solution staleness (ticks of the MPC period, 0 or 1). The
+    # reference's sim always runs on a STALE solution: the latest-wins
+    # /mpc_solution callback caches whatever the MPC node last published
+    # while the next solve takes 2-7.6 ms (ros_run_simulation.py:188-218,
+    # MPC_QP_layout.xml:256-259). mpc_delay=1 reproduces that regime
+    # pessimistically — the whole period runs on the PREVIOUS period's
+    # solution (a full 40 ms compute budget, > the reference's worst case).
+    # 0 (default) is the synchronous cadence: each period applies its own
+    # fresh solve at period start.
+    mpc_delay: int = 0
+    # Delay-compensation mode at mpc_delay=1: "full" (one-step SRBD state
+    # prediction + gait-clock shift — plan for the window where the solve
+    # will be applied), "state" / "clock" (each half alone), "none" (apply
+    # stale solves of the measured state — the reference's literal
+    # behavior). Diagnostic surface for tools/exp_stale.py.
+    delay_comp: str = "full"
+    # Weight-transfer gait-clock gate + DS slow-down (GaitConfig.gate_window
+    # / ds_slow_gain): measured dead ends under MuJoCo (TODO.md) that remain
+    # internal-plant capabilities. Static flag so the production tick
+    # carries ZERO dead control flow — with the default False the xi-gate
+    # prediction block is never traced into the HLO. The always-armed
+    # crouch guard (gate_z_tol) and step-timing adaptation (timing_gain)
+    # are live flagship mechanisms and are NOT behind this flag.
+    gait_gate: bool = False
     # Lateral sway + weight-transfer gate parameters live in GaitConfig
     # (per-scenario pytree, vmappable/randomizable).
 
@@ -295,6 +319,36 @@ def walking_scenario_f32_robust(
     )
 
 
+def stale_walking_scenario(
+    dtype=jnp.float32,
+    n_steps: float = 8.0,
+    v_cmd=(0.1, 0.0),
+) -> ScenarioParams:
+    """Walking scenario validated under the STALE-SOLUTION cadence
+    (EngineConfig.mpc_delay=1 + delay_comp="full") — the reference's real
+    operating regime made pessimistic: every MPC solution is applied one
+    full 40 ms period late (the reference's measured staleness is 2-7.6 ms,
+    MPC_QP_layout.xml:256-259).
+
+    The bundle is walking_scenario_f32_robust with the landing lock moved
+    EARLIER (0.5 vs 0.65). Round-4 sweep (tools/sweep_stale.py): under
+    delay=1 the committed foothold reaches the executing tick one period
+    late, so late landing updates (which the swing foot could still track
+    synchronously) become unreachable — locking at half-swing restores a
+    convergent swing servo. lock 0.65 falls, 0.5 walks the full bar; the
+    convergent swing servo. Measured margin (sweep wave 1): lock 0.45 and
+    0.50 walk the full bar; 0.40 and 0.55 fall. The bundle is load-bearing
+    as a bundle: timing_gain 0, dcm 1.2, or the plain (non-robust) scenario
+    each fall under delay=1. Delay compensation must be "full": planning
+    from the measured (40 ms old) state loses the walk (comp=none 3+3
+    steps), and the clock shift without the state prediction is
+    catastrophic (comp=clock diverges)."""
+    p = walking_scenario_f32_robust(dtype, n_steps=n_steps, v_cmd=v_cmd)
+    return p._replace(
+        gait=p.gait._replace(landing_lock=jnp.asarray(0.5, dtype))
+    )
+
+
 class EngineState(NamedTuple):
     """Carried state of the closed loop (pytree)."""
 
@@ -326,6 +380,15 @@ class EngineState(NamedTuple):
                               # would march the CoM off the frozen support
                               # polygon (round-2: forward fall with 0 steps
                               # taken when a tight gate held the first DS)
+    # Pending (freshly-solved, not-yet-applied) MPC solution — the
+    # one-period staleness buffer for EngineConfig.mpc_delay=1. Unused
+    # (carried verbatim) at mpc_delay=0; ~45 floats, negligible next to
+    # U_warm's (N,12).
+    u0_pend: jnp.ndarray      # (12,)
+    x_opt0_pend: jnp.ndarray  # (13,)
+    x_opt1_pend: jnp.ndarray  # (13,)
+    contact_pend: jnp.ndarray # (4,)
+    landing_pend: jnp.ndarray # (3,)
 
 
 class TickLog(NamedTuple):
@@ -418,6 +481,11 @@ def init_state(model: RobotModel, cfg: EngineConfig, dtype=jnp.float32) -> Engin
         gait_clock=jnp.asarray(0.0, dtype),
         swing_xy_ref=feet[:, :2],
         gate_hold=jnp.asarray(0.0, dtype),
+        u0_pend=jnp.zeros(12, dtype),
+        x_opt0_pend=jnp.zeros(13, dtype),
+        x_opt1_pend=jnp.zeros(13, dtype),
+        contact_pend=jnp.ones(4, dtype),
+        landing_pend=feet[0],
     )
 
 
@@ -455,6 +523,31 @@ def _mpc_stage(
         [rb.frame_pose(model, body_X, f).p for f in idx.contacts]
     )  # (4,3)
 
+    plan_clock = state.gait_clock
+    if cfg.mpc_delay == 1:
+        # Delay COMPENSATION for the stale cadence: this solve is applied
+        # one period from now, so plan from the one-step SRBD prediction of
+        # the state THEN — measured state propagated through the model with
+        # the forces being applied this period (the pending solution). A
+        # real MPC node with compute latency does exactly this; planning
+        # from the measured state instead loses the walk (round-4
+        # measurement: 3 steps then capsize — every solution arrives
+        # describing a 40 ms-old world). The first period has no pending
+        # solution and is applied synchronously (see make_rollout), so it
+        # plans from the measurement.
+        first = state.t < 0.5 * cfg.plant.dt
+        if cfg.delay_comp in ("full", "state"):
+            r_now = cpos - x0[3:6][None, :]
+            A_c, B_c = srbd.continuous_matrices(params.srbd, x0[2], r_now)
+            Ad1, Bd1 = srbd.discretize(A_c, B_c, cfg.mpc.dt)
+            u_applied = state.u0_pend * state.contact_pend.repeat(3)
+            x_pred = Ad1 @ x0 + Bd1 @ u_applied
+            x0 = jnp.where(first, x0, x_pred)
+        if cfg.delay_comp in ("full", "clock"):
+            plan_clock = state.gait_clock + jnp.where(
+                first, 0.0, jnp.asarray(cfg.mpc.dt, x0.dtype)
+            )
+
     # During a weight-transfer hold, plan pure station-keeping (see
     # EngineState.gate_hold).
     v_cmd_eff = params.v_cmd * (1.0 - state.gate_hold)
@@ -462,16 +555,23 @@ def _mpc_stage(
     # the committed foothold is frozen so the rate-limited swing foot can
     # converge to it (see GaitConfig.landing_lock).
     _, in_swing_m, _, progress_m = gs.phase_info(
-        params.gait, state.gait_clock
+        params.gait, plan_clock
     )
     lock_flag = (
         (in_swing_m > 0.5) & (progress_m > params.gait.landing_lock)
     ).astype(x0.dtype)
+    # Landing continuity follows the PLANNING chain: at mpc_delay=1 the
+    # last-committed foothold of this solve sequence lives in the pending
+    # buffer (state.landing holds the stale applied one).
+    prev_landing = (
+        state.landing_pend if cfg.mpc_delay == 1 else state.landing
+    )
     plan = planner.plan_horizon(
         params.gait, params.steps, v_cmd_eff, x0, cpos,
-        state.gait_clock, cfg.mpc.horizon, cfg.mpc.dt, cfg.com_height,
+        plan_clock, cfg.mpc.horizon, cfg.mpc.dt, cfg.com_height,
         hold=state.gate_hold,
-        prev_landing=state.landing, lock_flag=lock_flag,
+        prev_landing=prev_landing, lock_flag=lock_flag,
+        swing_start=state.swing_start, z_apex=cfg.max_swing_height,
     )
 
     if cfg.telemetry:
@@ -488,6 +588,7 @@ def _mpc_stage(
         plan.p_ref,
         U_warm=state.U_warm,
         landing_mask=plan.landing_mask,
+        hdot_sw=plan.hdot_geom,
     )
     mpc_ms = (
         clock.stop(sol.pri_res, x0.dtype)
@@ -715,24 +816,9 @@ def _wbid_tick(
     in_gait = (tau_g >= 0.0) & (step_f < params.gait.n_steps)
     t_in_step = tau_g - step_f * half
     ds = params.gait.double_support_duration
-    in_ds_tail = in_gait & (t_in_step < ds) & (
-        t_in_step > (1.0 - params.gait.gate_window) * ds
-    )
-    # Gate against the PREDICTED swing-onset DCM: propagate the measured
-    # lateral DCM xi = y + vy/omega0 through the REMAINDER of this step's
-    # double-support ZMP ramp (gs.predict_ds_end_dcm) and compare to the
-    # periodic orbit's swing-onset DCM. A transfer that is merely in
-    # progress predicts on-target and is NEVER held — gating on the
-    # instantaneous DCM instead brakes the orbit's natural crossing mid
-    # double support (measured round 3: the hold reference demands the CoM
-    # stop at the DS-end DCM point while it still carries ~0.26 m/s of
-    # crossing velocity; the required lateral braking exceeds what line
-    # feet deliver and the robot rolls over during the hold). The criterion
-    # is the DCM ALONE: during a hold the planner's hold-at-target
-    # reference (gait/planner.py) station-keeps the CoM at the orbit's DCM
-    # position, which the remaining ramp then carries exactly onto the
-    # swing-onset target — so the predictive criterion is achievable and
-    # the gate cannot deadlock (round-2 failure mode).
+    # The xi-gate / DS-slow-down block below is compiled OUT of the
+    # production tick (cfg.gait_gate=False, the default): both are measured
+    # dead ends under MuJoCo (TODO.md) kept as internal-plant capabilities.
     omega0_g = jnp.sqrt(jnp.asarray(-srbd.GRAVITY, dtype) / cfg.com_height)
     W_g = params.steps.step_width
     # Centerline implied by the upcoming stance foot (feet-relative
@@ -743,21 +829,6 @@ def _wbid_tick(
     xi_rel_g = (
         com_now[1] - y_line_g + (vy_now - params.v_cmd[1]) / omega0_g
     )
-    xi_pred_g = gs.predict_ds_end_dcm(
-        params.gait, omega0_g, W_g, xi_rel_g, t_in_step, next_swing_left
-    )
-    xi_target = params.gait.sway_gain * gs.swing_onset_dcm_nominal(
-        params.gait, omega0_g, W_g, next_swing_left
-    )
-    # One-sided release: the transfer moves xi TOWARD the upcoming stance
-    # side (right for a left swing); having moved past the target is fine —
-    # overshoot is on the stance side where foot placement absorbs it. A
-    # two-sided band re-holds on overshoot, exactly when the swing should
-    # start.
-    gate_err = jnp.where(
-        next_swing_left, xi_pred_g - xi_target, xi_target - xi_pred_g
-    )
-    gate_ok = gate_err < params.gait.gate_xi_tol
     # Vertical crouch guard (always armed): never start a swing while the
     # CoM is sagging — give the MPC double-support time to stand back up
     # instead of stepping into a knee-saturating crouch.
@@ -800,27 +871,60 @@ def _wbid_tick(
         d_xy, 1e-6
     )
     speedup = jnp.minimum(speedup, jnp.maximum(r_feas, 1.0))
-    # DS slow-down (gait.ds_slow_gain > 0): a lagging transfer gets a
-    # SLOWER clock through the DS tail — never frozen (the freeze gate is a
-    # measured dead end under MuJoCo, see gs.GaitConfig.ds_slow_gain).
-    ds_rate = jnp.clip(
-        1.0
-        - params.gait.ds_slow_gain
-        * jnp.maximum(gate_err - params.gait.gate_xi_tol, 0.0),
-        jnp.maximum(params.gait.ds_rate_min, 1e-2),
-        1.0,
-    )
-    slow_mode = params.gait.ds_slow_gain > 0.0
-    ds_tail_rate = jnp.where(
-        slow_mode,
-        ds_rate,
-        jnp.where(in_ds_tail & ~gate_ok, 0.0, 1.0),
-    )
-    clock_rate = jnp.where(
-        in_ds_tail,
-        ds_tail_rate,
-        jnp.where(in_ss_t, speedup, 1.0),
-    )
+    clock_rate = jnp.where(in_ss_t, speedup, 1.0)
+    if cfg.gait_gate:
+        # Weight-transfer gate against the PREDICTED swing-onset DCM:
+        # propagate the measured lateral DCM xi = y + vy/omega0 through the
+        # REMAINDER of this step's double-support ZMP ramp
+        # (gs.predict_ds_end_dcm) and compare to the periodic orbit's
+        # swing-onset DCM. A transfer that is merely in progress predicts
+        # on-target and is NEVER held — gating on the instantaneous DCM
+        # instead brakes the orbit's natural crossing mid double support
+        # (measured round 3: the hold reference demands the CoM stop at the
+        # DS-end DCM point while it still carries ~0.26 m/s of crossing
+        # velocity; the required lateral braking exceeds what line feet
+        # deliver and the robot rolls over during the hold). The criterion
+        # is the DCM ALONE: during a hold the planner's hold-at-target
+        # reference (gait/planner.py) station-keeps the CoM at the orbit's
+        # DCM position, which the remaining ramp then carries exactly onto
+        # the swing-onset target — so the predictive criterion is
+        # achievable and the gate cannot deadlock (round-2 failure mode).
+        in_ds_tail = in_gait & (t_in_step < ds) & (
+            t_in_step > (1.0 - params.gait.gate_window) * ds
+        )
+        xi_pred_g = gs.predict_ds_end_dcm(
+            params.gait, omega0_g, W_g, xi_rel_g, t_in_step, next_swing_left
+        )
+        xi_target = params.gait.sway_gain * gs.swing_onset_dcm_nominal(
+            params.gait, omega0_g, W_g, next_swing_left
+        )
+        # One-sided release: the transfer moves xi TOWARD the upcoming
+        # stance side (right for a left swing); having moved past the
+        # target is fine — overshoot is on the stance side where foot
+        # placement absorbs it. A two-sided band re-holds on overshoot,
+        # exactly when the swing should start.
+        gate_err = jnp.where(
+            next_swing_left, xi_pred_g - xi_target, xi_target - xi_pred_g
+        )
+        gate_ok = gate_err < params.gait.gate_xi_tol
+        # DS slow-down (gait.ds_slow_gain > 0): a lagging transfer gets a
+        # SLOWER clock through the DS tail — never frozen (the freeze gate
+        # is a measured dead end under MuJoCo, see
+        # gs.GaitConfig.ds_slow_gain).
+        ds_rate = jnp.clip(
+            1.0
+            - params.gait.ds_slow_gain
+            * jnp.maximum(gate_err - params.gait.gate_xi_tol, 0.0),
+            jnp.maximum(params.gait.ds_rate_min, 1e-2),
+            1.0,
+        )
+        slow_mode = params.gait.ds_slow_gain > 0.0
+        ds_tail_rate = jnp.where(
+            slow_mode,
+            ds_rate,
+            jnp.where(in_ds_tail & ~gate_ok, 0.0, 1.0),
+        )
+        clock_rate = jnp.where(in_ds_tail, ds_tail_rate, clock_rate)
     clock_rate = jnp.where(in_ds_end & ~z_ok, 0.0, clock_rate)
     # gate_hold marks only FULL freezes: the planner's station-keeping hold
     # semantics (absolute anchor, zeroed v_cmd, DCM-position reference)
@@ -863,8 +967,34 @@ def make_rollout(model: RobotModel, cfg: EngineConfig):
     [MPC solve; ticks_per_mpc x WBID tick]."""
     idx = StackIndices.from_model(model)
 
+    if cfg.mpc_delay not in (0, 1):
+        raise ValueError("mpc_delay must be 0 (synchronous) or 1 (stale)")
+
     def period(state: EngineState, params: ScenarioParams):
+        prev = state
         state, mpc_sol, mpc_ms = _mpc_stage(model, idx, cfg, params, state)
+        if cfg.mpc_delay == 1:
+            # Stale-solution cadence (the reference's real operating
+            # regime, ros_run_simulation.py:188-218): the fresh solve only
+            # becomes visible NEXT period; this period's ticks run on the
+            # previous period's solution from the staleness buffer. The
+            # first period has no previous solution — it applies its own
+            # solve, like the reference sim idling until the MPC node's
+            # first /mpc_solution arrives.
+            first = prev.t < 0.5 * cfg.plant.dt
+            pick = lambda fresh, pend: jnp.where(first, fresh, pend)
+            state = state._replace(
+                u0=pick(state.u0, prev.u0_pend),
+                x_opt0=pick(state.x_opt0, prev.x_opt0_pend),
+                x_opt1=pick(state.x_opt1, prev.x_opt1_pend),
+                contact_now=pick(state.contact_now, prev.contact_pend),
+                landing=pick(state.landing, prev.landing_pend),
+                u0_pend=state.u0,
+                x_opt0_pend=state.x_opt0,
+                x_opt1_pend=state.x_opt1,
+                contact_pend=state.contact_now,
+                landing_pend=state.landing,
+            )
 
         def tick(s, i):
             # Phase within the MPC's PREDICTION interval (mpc.dt), not the

@@ -31,8 +31,11 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import jax
+
 from g1_locomotion_tpu.gait import footsteps as fs
 from g1_locomotion_tpu.gait import schedule as gs
+from g1_locomotion_tpu.gait import swing as sw
 from g1_locomotion_tpu.models import srbd
 
 # Heel/toe frame offsets from the foot center (g1_23dof.urdf:288,293).
@@ -57,6 +60,10 @@ class MPCPlan(NamedTuple):
     landing_mask: jnp.ndarray # (N, 4) 1 where a contact sits at the landing
     stance_y: jnp.ndarray     # scalar: stance-foot y (for separation clips)
     swing_is_left: jnp.ndarray
+    hdot_geom: jnp.ndarray    # (N, 3) swing-limb geometric r x a preview
+                              # (zero outside the current swing window) —
+                              # feeds mpc.solve(hdot_sw=...) where it is
+                              # scaled by SRBDParams.m_swing
 
 
 def clip_landing_y(y_land, stance_y, swing_is_left):
@@ -89,6 +96,12 @@ def plan_horizon(
                               # so the whole plan (landing, c_hor rows,
                               # landing_mask geometry) stays consistent with
                               # the foothold the swing foot is converging to
+    swing_start: jnp.ndarray | None = None,  # (2, 3) per-foot lift-off
+                              # positions (engine/tick.py latches them); the
+                              # swing-momentum preview evaluates the nominal
+                              # profile from here. None: approximate with
+                              # the swing side's current contact mean
+    z_apex: float = 0.05,     # swing apex height for the momentum preview
 ) -> MPCPlan:
     dtype = x0.dtype
     hold = jnp.asarray(hold, dtype)
@@ -280,6 +293,41 @@ def plan_horizon(
     p_ref = jnp.stack(
         [x_ref_line, y_ref, jnp.full((N,), com_height, dtype)], axis=1
     )
+
+    # ---- Swing-limb momentum preview --------------------------------------
+    # Geometric r x a of the swing foot over the current step's swing window,
+    # from the nominal closed-form profile (gait/swing.py). The MPC scales it
+    # by SRBDParams.m_swing into the previewed angular disturbance
+    # (srbd.swing_disturbance) — the SRBD's angular channel otherwise
+    # attributes the swinging leg's momentum to torso rotation, and the WBID
+    # realizes GRFs that fight it exactly when line-contact feet are weakest
+    # (TODO.md 4a/4e: the MuJoCo lateral under-delivery).
+    sw_sel = jnp.where(
+        swing_is_left,
+        jnp.array([1.0, 1.0, 0.0, 0.0], dtype),
+        jnp.array([0.0, 0.0, 1.0, 1.0], dtype),
+    )
+    p_sw_now = jnp.sum(sw_sel[:, None] * cpos, axis=0) / 2.0
+    if swing_start is None:
+        p_start_sw = p_sw_now
+    else:
+        p_start_sw = jnp.where(swing_is_left, swing_start[0], swing_start[1])
+    swing_begin = (
+        gait.start_time + step_idx * half + gait.double_support_duration
+    )
+    ts_now = gait_clock + dt_mpc * jnp.arange(N, dtype=dtype)
+    in_swing_k = (ts_now >= swing_begin) & (ts_now < swing_end) & in_step
+    prog_k = jnp.clip((ts_now - swing_begin) / gait.swing_duration, 0.0, 1.0)
+    sp = sw.SwingParams(
+        p_start=p_start_sw, p_end=landing,
+        z_apex=jnp.asarray(z_apex, dtype),
+    )
+    pos_k, _, acc_k = jax.vmap(
+        lambda s: sw.evaluate(sp, s, gait.swing_duration)
+    )(prog_k)
+    hdot_geom = (
+        jnp.cross(pos_k - p_ref, acc_k) * in_swing_k[:, None].astype(dtype)
+    )
     v_ref_xy = jnp.stack(
         [vx_ref,
          (jnp.where(in_gait_k, v_cmd[1], 0.0) + gait.sway_gain * vy_orb)
@@ -300,6 +348,7 @@ def plan_horizon(
         landing_mask=landing_mask,
         stance_y=p_sy,
         swing_is_left=swing_is_left,
+        hdot_geom=hdot_geom,
     )
 
 

@@ -79,6 +79,15 @@ def xy_phase_rate(s: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(s <= 0.5, first, second)
 
 
+def xy_phase_accel(s: jnp.ndarray) -> jnp.ndarray:
+    """d2(phase)/ds2 — the xy acceleration profile of the sine-eased swing
+    (zero in the linear second half). Drives the swing-limb momentum preview
+    (gait/planner.py hdot_geom): the lateral foot acceleration is the
+    dominant unmodeled angular-momentum rate of the SRBD."""
+    first = -XY_FIRST_HALF_FRACTION * jnp.pi**2 * jnp.sin(jnp.pi * s)
+    return jnp.where(s <= 0.5, first, jnp.zeros_like(s))
+
+
 def evaluate(
     params: SwingParams, s: jnp.ndarray, swing_duration
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -105,10 +114,12 @@ def evaluate(
 
     ph = xy_phase(s)
     dph = xy_phase_rate(s) / swing_duration
+    ddph = xy_phase_accel(s) / swing_duration**2
     xy = (1 - ph) * params.p_start[:2] + ph * params.p_end[:2]
     dxy = dph * (params.p_end[:2] - params.p_start[:2])
+    ddxy = ddph * (params.p_end[:2] - params.p_start[:2])
 
     pos = jnp.concatenate([xy, z[None]])
     vel = jnp.concatenate([dxy, dz[None]])
-    acc = jnp.concatenate([jnp.zeros(2, dtype), ddz[None]])
+    acc = jnp.concatenate([ddxy, ddz[None]])
     return pos, vel, acc

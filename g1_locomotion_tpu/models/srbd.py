@@ -62,12 +62,21 @@ GRAVITY = -9.80665  # state element 12 (ros_run_simulation.py:58)
 class SRBDParams(NamedTuple):
     mass: jnp.ndarray  # scalar
     inertia: jnp.ndarray  # (3,3) body-frame rotational inertia
+    # Effective swing-limb point mass [kg] for the angular-momentum preview
+    # (0 = compensation off). The SRBD's linear (CoM) channel is EXACT for
+    # any internal motion; its angular channel approximates the centroidal
+    # momentum as I*omega, dropping the swing leg's relative term
+    # h_sw ~ m_eff (r_foot x v_foot). With m_swing > 0 the MPC previews
+    # hdot_sw = m_eff (r x a_swing) from the planned swing profile as a
+    # known disturbance (planner supplies the geometric r x a horizon).
+    m_swing: jnp.ndarray = 0.0
 
 
 def default_params(dtype=jnp.float32) -> SRBDParams:
     return SRBDParams(
         mass=jnp.asarray(G1_MASS, dtype),
         inertia=G1_COMPOSITE_INERTIA.astype(dtype),
+        m_swing=jnp.asarray(0.0, dtype),
     )
 
 
@@ -167,6 +176,49 @@ def discretize(
     return Ad, Bd
 
 
+def swing_disturbance(
+    params: SRBDParams,
+    yaw: jnp.ndarray,
+    hdot_geom: jnp.ndarray,  # (3,) geometric r_sw x a_sw of the swing foot
+) -> jnp.ndarray:
+    """Continuous affine disturbance (NX,) for the swing-limb momentum
+    preview: the exact centroidal angular dynamics are
+    ``d/dt(I w + h_sw) = sum_i r_i x f_i``, so the SRBD omega rows pick up
+    ``omega_dot -= I_w^{-1} hdot_sw`` with
+    ``hdot_sw ~ m_swing * (r_foot x a_foot)`` (point-mass swing-limb model;
+    see SRBDParams.m_swing). ZOH-discretize with :func:`discretize_affine`
+    and lift with :func:`lift_affine`."""
+    dtype = hdot_geom.dtype
+    Rz = yaw_matrix(yaw).astype(dtype)
+    I_w = Rz @ params.inertia.astype(dtype) @ Rz.T
+    w = jnp.zeros((NX,), dtype)
+    return w.at[6:9].set(
+        -jnp.linalg.solve(I_w, params.m_swing * hdot_geom)
+    )
+
+
+def discretize_affine(A: jnp.ndarray, w: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """ZOH of a constant affine term over one step (same nilpotent series
+    as the B columns of :func:`discretize`)."""
+    eye = jnp.eye(NX, dtype=A.dtype)
+    A2 = A @ A
+    return (eye * dt + A * (dt * dt / 2.0) + A2 * (dt**3 / 6.0)) @ w
+
+
+def lift_affine(Ad: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate per-step discrete affine terms into the condensed horizon:
+    ``X = A_qp x0 + B_qp U + W`` with ``W[k] = sum_{j<=k} Phi_{j+1..k} w_j``.
+    Returns W stacked (N*NX,)."""
+    N = Ad.shape[0]
+    rows = []
+    acc = wd[0]
+    rows.append(acc)
+    for k in range(1, N):
+        acc = Ad[k] @ acc + wd[k]
+        rows.append(acc)
+    return jnp.concatenate(rows)
+
+
 def condense(
     Ad: jnp.ndarray,  # (N, NX, NX) per-step discrete A
     Bd: jnp.ndarray,  # (N, NX, NU) per-step discrete B
@@ -202,14 +254,16 @@ def condense(
 
 def rollout(
     Ad: jnp.ndarray, Bd: jnp.ndarray, x0: jnp.ndarray, U: jnp.ndarray,
-    Ed: jnp.ndarray = None, d: jnp.ndarray = None,
+    Ed: jnp.ndarray = None, d: jnp.ndarray = None, wd: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Simulate x_{k+1} = A_k x_k + B_k u_k (+ E_k d); returns (N+1, NX)."""
+    """Simulate x_{k+1} = A_k x_k + B_k u_k (+ E_k d + w_k); returns (N+1, NX)."""
     N = Ad.shape[0]
     xs = [x0]
     for k in range(N):
         x = Ad[k] @ xs[-1] + Bd[k] @ U[k]
         if Ed is not None:
             x = x + Ed[k] @ d
+        if wd is not None:
+            x = x + wd[k]
         xs.append(x)
     return jnp.stack(xs)

@@ -198,6 +198,10 @@ def build_qp(
                                 # the footstep decision columns)
     f_nom: Optional[jnp.ndarray] = None,  # (N, NC, 3) nominal forces for the
                                 # d x f linearization (warm start)
+    hdot_sw: Optional[jnp.ndarray] = None,  # (N, 3) geometric swing-limb
+                                # r x a horizon (planner.hdot_geom); scaled
+                                # by params.m_swing into a previewed
+                                # angular-momentum-rate disturbance
 ):
     """Assemble the condensed QP (H, g, A, l, u) + lifting matrices."""
     N = cfg.horizon
@@ -208,11 +212,23 @@ def build_qp(
     yaw_hor = x_ref[:, 2]
     r_hor = c_horizon - p_com_horizon[:, None, :]  # (N, NC, 3)
 
-    def step_mats(yaw, r):
-        A_c, B_c = srbd.continuous_matrices(params, yaw, r)
-        return srbd.discretize(A_c, B_c, cfg.dt)
+    if hdot_sw is None:
+        def step_mats(yaw, r):
+            A_c, B_c = srbd.continuous_matrices(params, yaw, r)
+            return srbd.discretize(A_c, B_c, cfg.dt)
 
-    Ad, Bd = jax.vmap(step_mats)(yaw_hor, r_hor)  # (N,NX,NX), (N,NX,NU)
+        Ad, Bd = jax.vmap(step_mats)(yaw_hor, r_hor)
+        Wd = None
+        W_lift = jnp.zeros((N * NX,), dtype)
+    else:
+        def step_mats_w(yaw, r, hd):
+            A_c, B_c = srbd.continuous_matrices(params, yaw, r)
+            Ad_k, Bd_k = srbd.discretize(A_c, B_c, cfg.dt)
+            w_c = srbd.swing_disturbance(params, yaw, hd)
+            return Ad_k, Bd_k, srbd.discretize_affine(A_c, w_c, cfg.dt)
+
+        Ad, Bd, Wd = jax.vmap(step_mats_w)(yaw_hor, r_hor, hdot_sw)
+        W_lift = srbd.lift_affine(Ad, Wd)
 
     A_qp, B_qp = srbd.condense(Ad, Bd)  # (N*NX, NX), (N*NX, N*NU)
 
@@ -277,10 +293,11 @@ def build_qp(
             [Rbar, jnp.full((2,), cfg.w_d * cfg.d_scale**2, dtype)]
         )
 
-    # H = B'QB + R ; g = B'Q (A x0 - X_ref)   (B_qp possibly knot-folded)
+    # H = B'QB + R ; g = B'Q (A x0 + W - X_ref)  (B_qp possibly knot-folded;
+    # W is the lifted swing-momentum preview, zero without hdot_sw)
     BtQ = B_qp.T * Qbar[None, :]
     H = BtQ @ B_qp + jnp.diag(Rbar)
-    resid = A_qp @ x0 - x_ref.reshape(N * NX)
+    resid = A_qp @ x0 + W_lift - x_ref.reshape(N * NX)
     g = BtQ @ resid
 
     # Friction cones, blockdiag over (K_knots, NC): per-contact 5x3 block
@@ -344,7 +361,7 @@ def build_qp(
         l = jnp.concatenate([l, -cap])
         u = jnp.concatenate([u, cap])
 
-    return H, g, A_con, l, u, A_qp, B_qp, Ad, Bd, Ed
+    return H, g, A_con, l, u, A_qp, B_qp, Ad, Bd, Ed, Wd
 
 
 def solve(
@@ -359,6 +376,7 @@ def solve(
     U_warm: Optional[jnp.ndarray] = None,
     landing_mask: Optional[jnp.ndarray] = None,
     f_nom: Optional[jnp.ndarray] = None,
+    hdot_sw: Optional[jnp.ndarray] = None,
 ) -> MPCSolution:
     """One MPC solve — the reference's ``MPC.update(...)`` (run_simulation.py:106).
 
@@ -372,9 +390,10 @@ def solve(
     K_knots = (N + mb - 1) // mb
     if cfg.footstep_opt and f_nom is None and U_warm is not None:
         f_nom = U_warm.reshape(N, NC, 3)
-    H, g, A_con, l, u, A_qp, B_qp, Ad, Bd, Ed = build_qp(
+    H, g, A_con, l, u, A_qp, B_qp, Ad, Bd, Ed, Wd = build_qp(
         cfg, weights, params, x0, x_ref, contact_horizon, c_horizon,
         p_com_horizon, landing_mask=landing_mask, f_nom=f_nom,
+        hdot_sw=hdot_sw,
     )
     if U_warm is None:
         x0_warm = None
@@ -393,7 +412,7 @@ def solve(
     # any residual is pure ADMM slack (~1e-2 N in f32) — masking makes the
     # physical invariant exact for downstream consumers (WBID f_des).
     U = U * jnp.repeat(contact_horizon, 3, axis=1)
-    x_hor = srbd.rollout(Ad, Bd, x0, U, Ed=Ed, d=d)
+    x_hor = srbd.rollout(Ad, Bd, x0, U, Ed=Ed, d=d, wd=Wd)
     return MPCSolution(
         u0=U[0], U=U, x_horizon=x_hor, d=d,
         pri_res=sol.pri_res, dua_res=sol.dua_res,

@@ -112,6 +112,7 @@ def make_srbd_loop(
             cfg, params.mpc_weights, params.srbd, state.x,
             plan.x_ref, plan.contact_hor, plan.c_hor, plan.p_ref,
             U_warm=state.U_warm, landing_mask=plan.landing_mask,
+            hdot_sw=plan.hdot_geom,
         )
         landing = plan.landing
         if cfg.footstep_opt:

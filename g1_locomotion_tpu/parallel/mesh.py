@@ -56,9 +56,26 @@ def pod_mesh() -> Mesh:
 
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Place a batched pytree with its leading axis sharded over the mesh."""
+    """Place a batched pytree with its leading axis sharded over the mesh.
+
+    Single-process: a plain device_put. Multi-process (after
+    distributed_init): every process is assumed to hold the SAME full batch
+    (deterministic construction from a shared PRNG key — parallel/sweep.py's
+    randomize); each process contributes the shards its local devices own
+    via make_array_from_callback, the standard multi-host ingestion path."""
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree
+        )
+
+    def place(x):
+        xn = np.asarray(x)
+        return jax.make_array_from_callback(
+            xn.shape, sharding, lambda idx: xn[idx]
+        )
+
+    return jax.tree_util.tree_map(place, tree)
 
 
 def batch_spec(mesh: Mesh) -> NamedSharding:

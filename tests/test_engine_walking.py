@@ -121,6 +121,39 @@ def test_walk_velocity_tracking(g1, v):
 
 
 @pytest.mark.slow
+def test_walk_stale_cadence(g1):
+    """8-step walk + settle with a ONE-PERIOD-STALE MPC solution
+    (EngineConfig.mpc_delay=1) — the reference's real operating regime: its
+    sim applies the latest cached /mpc_solution while the next solve takes
+    2-7.6 ms (ros_run_simulation.py:188-218; here the delay is a full 40 ms
+    period, pessimistic). Requires full delay compensation (plan from the
+    one-step SRBD prediction at the application time) + the early landing
+    lock (stale_walking_scenario; sweep evidence in tools/sweep_stale.py)."""
+    from g1_locomotion_tpu.core import rotations as rot
+
+    cfg = eng.walking_config()._replace(mpc_delay=1)
+    params = eng.stale_walking_scenario(
+        jnp.float64, n_steps=8.0, v_cmd=(0.1, 0.0)
+    )
+    rollout = eng.make_rollout(g1, cfg)
+    state = eng.init_state(g1, cfg, jnp.float64)
+    final, logs = jax.jit(lambda s: rollout(s, params, 163))(state)
+    com = np.asarray(logs.com).reshape(-1, 3)
+    assert np.isfinite(com).all()
+    assert com[:, 2].min() > 0.45, com[:, 2].min()
+    assert np.abs(com[:, 1]).max() < 0.25, np.abs(com[:, 1]).max()
+    np.testing.assert_allclose(com[-1, 2], cfg.com_height, atol=0.02)
+    assert float(jnp.abs(final.v).max()) < 0.3
+    rpy = np.asarray(rot.quat_to_rpy(final.q[3:7]))
+    assert np.abs(rpy[:2]).max() < 0.15, rpy
+    contact = np.asarray(logs.contact).reshape(-1, 4)
+    left_up = (contact[:, 0] < 0.5).astype(int)
+    right_up = (contact[:, 2] < 0.5).astype(int)
+    assert int(np.clip(np.diff(left_up), 0, 1).sum()) == 4
+    assert int(np.clip(np.diff(right_up), 0, 1).sum()) == 4
+
+
+@pytest.mark.slow
 def test_walk_f32_robust(g1_f32):
     """The flagship walk at float32 — the TPU serving precision (BASELINE
     north star: the *cascade* is TPU-native, not just the solver). Plain f32

@@ -70,7 +70,7 @@ def main():
     gztol = p[11] if len(p) > 11 else 0.06  # 99 = crouch guard off
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
-    cfg = eng.walking_config()
+    cfg = eng.walking_config()._replace(gait_gate=True)
     params = eng.mujoco_walking_scenario(jnp.float64, n_steps=n_steps,
                                          v_cmd=(vx, 0.0))
     params = params._replace(

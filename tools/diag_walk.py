@@ -37,7 +37,7 @@ def main():
     fsopt = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
-    cfg = eng.walking_config()
+    cfg = eng.walking_config()._replace(gait_gate=True)
     cfg = cfg._replace(mpc=cfg.mpc._replace(footstep_opt=fsopt))
     params = eng.walking_scenario(jnp.float64)
     params = params._replace(

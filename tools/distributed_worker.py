@@ -5,8 +5,14 @@ code path bootstraps multi-host TPU pods — parallel/mesh.py docstrings).
 Each process contributes its local device(s) to the global pod mesh, places
 its shard of a scenario batch, and participates in a cross-process psum.
 
-Usage: python tools/distributed_worker.py <coordinator> <num_procs> <pid>
+Usage: python tools/distributed_worker.py <coordinator> <num_procs> <pid> [sweep]
 Prints one JSON line with the psum result; exit 0 on success.
+
+With the optional ``sweep`` mode the worker runs the ACTUAL config-5 path —
+parallel/sweep.run_sweep (full fused engine rollout, domain-randomized
+batch) on the cross-process pod mesh — and prints the psum'd SweepStats,
+which tests/test_distributed.py compares against a single-process run of
+the identical batch.
 
 Run standalone for a 2-process check:
     python tools/distributed_worker.py 127.0.0.1:9911 2 0 &
@@ -28,6 +34,43 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
+def run_sweep_mode(pmesh):
+    """The config-5 path across processes: run_sweep on the pod mesh."""
+    import jax.numpy as jnp
+
+    from g1_locomotion_tpu.engine import tick as eng
+    from g1_locomotion_tpu.models.robot import load_robot
+    from g1_locomotion_tpu.parallel import sweep
+    from g1_locomotion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64
+    model = load_robot("g1_23dof", dtype=dtype)
+    cfg = eng.EngineConfig()
+    base = eng.default_scenario(dtype)
+    # Every process draws the SAME batch from the shared key; shard_batch
+    # then feeds each process's addressable rows (parallel/mesh.py).
+    params = sweep.randomize(
+        sweep.SweepSpec(n_scenarios=8), jax.random.PRNGKey(0), base
+    )
+    mesh = pmesh.pod_mesh()
+    final, (com_start, min_z), stats = sweep.run_sweep(
+        model, cfg, params, n_periods=2, mesh=mesh
+    )
+    jax.block_until_ready(stats)
+    out = {
+        "pid": jax.process_index(),
+        "n": float(stats.n),
+        "com_drift_sum": float(stats.com_drift_sum),
+        "tau_max": float(stats.tau_max),
+        "fell_count": float(stats.fell_count),
+        "ok": bool(float(stats.n) == 8.0),
+    }
+    print(json.dumps(out), flush=True)
+    sys.exit(0 if out["ok"] else 1)
+
+
 def main():
     coordinator, num_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
@@ -43,6 +86,10 @@ def main():
     n_global = len(jax.devices())
     n_local = len(jax.local_devices())
     assert n_global == num_procs * n_local, (n_global, n_local)
+
+    if "sweep" in sys.argv[4:]:
+        run_sweep_mode(pmesh)
+        return
 
     mesh = pmesh.pod_mesh()
     sharding = pmesh.batch_spec(mesh)

@@ -54,7 +54,7 @@ def main():
     cols = [jnp.asarray([s[i] for s in specs], jnp.float64) for i in range(11)]
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
-    cfg = eng.walking_config()
+    cfg = eng.walking_config()._replace(gait_gate=True)
     if os.environ.get("EXP_DBOX"):
         cfg = cfg._replace(
             mpc=cfg.mpc._replace(d_box=float(os.environ["EXP_DBOX"]))
