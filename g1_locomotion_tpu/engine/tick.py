@@ -67,6 +67,13 @@ class EngineConfig(NamedTuple):
     # roll/pitch DoFs (g1_29dof*) — the 23-DoF torso is rigid to the pelvis
     # modulo yaw, so the default walk never pays for the extra task rows.
     torso_task: bool = False
+    # Hand Cartesian hold tasks (wbid/stack.py hand rows) during engine
+    # rollouts: each hand tracks its standing pose RELATIVE to the base
+    # (yaw-following carry hold). The demo capability for the
+    # g1_29dof_with_hand variant (BASELINE config 4) — walk while the hand
+    # endpoints hold a carry posture. Off by default: the 23-DoF flagship
+    # hot path compiles without the extra task rows.
+    hand_task: bool = False
     # MPC solution staleness (ticks of the MPC period, 0 or 1). The
     # reference's sim always runs on a STALE solution: the latest-wins
     # /mpc_solution callback caches whatever the MPC node last published
@@ -760,6 +767,21 @@ def _wbid_tick(
     angmom_L = params.srbd.inertia @ x1[6:9]
     angmom_Ldot = params.srbd.inertia @ base_angacc
 
+    # Hand carry-hold references (cfg.hand_task): standing base-relative
+    # offsets, yaw-following. The standing FK is of a constant configuration
+    # and constant-folds at compile time.
+    hand_pos = None
+    if cfg.hand_task and idx.hands:
+        q_stand = q_init_standing(model, dtype)
+        Xs = rb.fk(model, q_stand)
+        offs = jnp.stack([
+            Xs.R[0].T @ (rb.frame_pose(model, Xs, f).p - Xs.p[0])
+            for f in idx.hands
+        ])  # (2, 3) base-frame offsets
+        yaw_now = rot.quat_to_rpy(state.q[3:7])[2]
+        yawR = rot.yaw_matrix(yaw_now)
+        hand_pos = state.q[0:3][None, :] + offs @ yawR.T
+
     refs = WBIDReferences(
         com_pos=x1[3:6],
         com_vel=x1[9:12],
@@ -779,6 +801,7 @@ def _wbid_tick(
         angmom_L=angmom_L,
         angmom_Ldot=angmom_Ldot,
         torso_R=base_R_ref if cfg.torso_task else None,
+        hand_pos=hand_pos,
     )
 
     if cfg.telemetry:

@@ -168,7 +168,12 @@ def plan_horizon(
     #   CoP margin once the walking momentum has been absorbed.
     centroid = jnp.mean(cpos, axis=0)
     tau_now = gait_clock - gait.start_time
-    s_blend = jnp.clip(tau_now - T_gait - 0.5, 0.0, 1.0)
+    s_blend = jnp.clip(
+        (tau_now - T_gait - 0.5)
+        / jnp.maximum(gait.settle_blend_s, 1e-3),
+        0.0,
+        1.0,
+    )
     stand_x = jnp.where(
         gait.n_steps < 0.5,
         centroid[0],
@@ -338,6 +343,14 @@ def plan_horizon(
     x_ref = x_ref.at[:, 3:6].set(p_ref)
     x_ref = x_ref.at[:, 9:11].set(v_ref_xy)
     x_ref = x_ref.at[:, 12].set(jnp.asarray(srbd.GRAVITY, dtype))
+    # Stance-side torso lean reference (gait.lean_gain; see
+    # gs.GaitConfig.lean_gain): roll toward the stance foot in phase with
+    # the lateral orbit. y_orb > 0 means the CoM rides left (left stance);
+    # positive theta_x tips the body toward -y (right side down), so the
+    # left lean is NEGATIVE roll.
+    x_ref = x_ref.at[:, 0].set(
+        -gait.lean_gain * y_orb / jnp.maximum(W, 1e-3)
+    )
 
     return MPCPlan(
         x_ref=x_ref,

@@ -86,6 +86,25 @@ class GaitConfig(NamedTuple):
     # MuJoCo) — locking converts the tail of the swing into a converging
     # servo so the planner's assumed foothold is the realized one.
     landing_lock: jnp.ndarray
+    # Stance-side torso LEAN in the plan reference [rad at full orbit
+    # amplitude]: theta_x_ref = lean_gain * y_orb / W — lean toward the
+    # stance foot in phase with the lateral orbit (the human strategy).
+    # Rationale (round-4 MuJoCo diagnosis): line-contact feet have no roll
+    # authority, so lateral force beyond the gravity-lever bound
+    # fz*(y_com-y_foot)/z rolls the torso; a zero-roll reference makes the
+    # WBID fight exactly that roll and under-deliver fy ~40-60% in single
+    # support. A leaned reference PLANS the roll the physics produces
+    # anyway, shifting the CoM toward the stance foot and cutting the
+    # required lateral force. 0 = disabled (flagship default).
+    lean_gain: jnp.ndarray
+    # Settle-anchor blend duration [s]: after the walk, the sagittal stand
+    # anchor blends from the gait-continuous ankle mean to the full-margin
+    # support centroid (gait/planner.py). 1.0 s is the 23-DoF value;
+    # heavier-armed variants need a slower recentering maneuver — round-4:
+    # g1_29dof_with_hand completes all 8 steps and then topples FORWARD
+    # during this blend window (upright at t_end+0.3 s, pitch -0.87 by
+    # t_end+1.1 s).
+    settle_blend_s: jnp.ndarray
 
 
 def default_gait(dtype=jnp.float32) -> GaitConfig:
@@ -106,6 +125,8 @@ def default_gait(dtype=jnp.float32) -> GaitConfig:
         ds_slow_gain=jnp.asarray(0.0, dtype),
         ds_rate_min=jnp.asarray(0.4, dtype),
         landing_lock=jnp.asarray(1.0, dtype),
+        lean_gain=jnp.asarray(0.0, dtype),
+        settle_blend_s=jnp.asarray(1.0, dtype),
     )
 
 

@@ -134,3 +134,145 @@ def chol_inverse_base(K: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 
     W = jnp.transpose(out, (2, 0, 1))  # back to (Bp, n, n)
     return W[:B]
+
+
+# ---------------------------------------------------------------------------
+# Single-instance fused linear solve — the serving-latency kernel.
+# ---------------------------------------------------------------------------
+#
+# Round-4 latency decomposition (tools/exp_latency_split.py, on-chip): the
+# single N=10 MPC solve spends ~0.9 ms PER POLISH ROUND, almost all of it in
+# ``spd_inverse(S)`` — a recursion of dozens of tiny XLA ops whose kernel
+# launch overheads, not FLOPs, set the latency floor (the whole solve is
+# ~4.5 MFLOP). The polish only needs S^{-1} @ rhs for ONE right-hand side,
+# so this kernel fuses the entire solve — Gauss-Jordan elimination on the
+# augmented [K | b] — into ONE Pallas launch: m fori_loop steps of full
+# (m, m+1) VPU ops in VMEM. No pivoting: the polish systems are SPD +
+# ridge regularization (diagonally positive), where unpivoted elimination
+# is stable (equivalent to LDL^T).
+
+
+def _gj_solve_kernel(aug_ref, x_ref, *, mp: int, n_lanes: int):
+    """Eliminate the (mp, n_lanes) augmented system [K | b | pad] in place.
+
+    Tile-aligned: mp is a multiple of 8 (sublanes), n_lanes of 128 (lanes);
+    padded rows carry an identity diagonal so their elimination steps are
+    no-ops. After mp steps the matrix part is diagonal and
+    x = aug[:, mp] / diag (the b column sits at lane index mp).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mp, n_lanes), 1)
+
+    def body(j, _):
+        aug = aug_ref[:]
+        pivrow = aug_ref[pl.ds(j, 1), :]  # (1, n_lanes)
+        # Pivot element / column j via masked full-width reductions (dynamic
+        # lane slicing is slower than a masked sum on TPU).
+        pivel = jnp.sum(
+            jnp.where(cols[0:1] == j, pivrow, 0.0), axis=1, keepdims=True
+        )  # (1, 1)
+        colj = jnp.sum(
+            jnp.where(cols == j, aug, 0.0), axis=1, keepdims=True
+        )  # (mp, 1)
+        f = colj / pivel
+        f = jnp.where(rows == j, jnp.zeros_like(f), f)
+        aug_ref[:] = aug - f * pivrow
+        return 0
+
+    jax.lax.fori_loop(0, mp, body, 0)
+    aug = aug_ref[:]
+    diag = jnp.sum(
+        jnp.where(cols == rows, aug, 0.0), axis=1, keepdims=True
+    )
+    b_col = jnp.sum(
+        jnp.where(cols == mp, aug, 0.0), axis=1, keepdims=True
+    )
+    x_ref[:] = jnp.broadcast_to(b_col / diag, x_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gj_solve(K: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
+    """x = K^{-1} b for a single SPD system (m, m) — one fused TPU kernel.
+
+    Built for single-robot serving latency (QPConfig.polish_kernel): the
+    polish Schur solve under XLA is a recursion of dozens of tiny kernels
+    whose launch overheads cost ~0.9 ms/round at B=1 (round-4 latency
+    decomposition). Unpivoted Gauss-Jordan is stable on these SPD + ridge
+    systems (equivalent to LDL^T). For batched throughput keep the
+    matmul-recursive ``spd_inverse`` (MXU-bound, amortized over the batch).
+    """
+    m = K.shape[0]
+    dtype = K.dtype
+    mp = ((m + 7) // 8) * 8
+    n_lanes = ((mp + 1 + 127) // 128) * 128
+    # Padded augmented system: [K | b] with an identity diagonal on the
+    # padding rows/cols (their pivots are 1, their eliminations no-ops).
+    aug = jnp.zeros((mp, n_lanes), dtype)
+    aug = aug.at[:m, :m].set(K)
+    pad_idx = jnp.arange(m, mp)
+    aug = aug.at[pad_idx, pad_idx].set(1.0)
+    aug = aug.at[:m, mp].set(b)
+    x = pl.pallas_call(
+        functools.partial(_gj_solve_kernel, mp=mp, n_lanes=n_lanes),
+        out_shape=jax.ShapeDtypeStruct((mp, 128), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(aug)
+    return x[:m, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gj_inverse(K: jnp.ndarray, interpret: bool = False):
+    """K^{-1} for a single SPD system (m, m) — one fused TPU kernel.
+
+    Same elimination as :func:`gj_solve` on the augmented [K | I]: after mp
+    steps the right block holds D^{-1}-scaled rows of the inverse. Used by
+    the serving-latency QP path (QPConfig.polish_kernel) for the per-segment
+    ADMM K-inverses and the polish Hr^{-1}, where the spd_inverse recursion's
+    op-launch overheads dominate at B=1.
+    """
+    m = K.shape[0]
+    dtype = K.dtype
+    mp = ((m + 7) // 8) * 8
+    n_lanes = ((2 * mp + 127) // 128) * 128
+    aug = jnp.zeros((mp, n_lanes), dtype)
+    aug = aug.at[:m, :m].set(K)
+    pad_idx = jnp.arange(m, mp)
+    aug = aug.at[pad_idx, pad_idx].set(1.0)
+    aug = aug.at[:mp, mp : 2 * mp].set(jnp.eye(mp, dtype=dtype))
+
+    def kernel(aug_ref, out_ref, *, mp: int, n_lanes: int):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (mp, n_lanes), 1)
+
+        def body(j, _):
+            aug = aug_ref[:]
+            pivrow = aug_ref[pl.ds(j, 1), :]
+            pivel = jnp.sum(
+                jnp.where(cols[0:1] == j, pivrow, 0.0), axis=1,
+                keepdims=True,
+            )
+            colj = jnp.sum(
+                jnp.where(cols == j, aug, 0.0), axis=1, keepdims=True
+            )
+            f = colj / pivel
+            f = jnp.where(rows == j, jnp.zeros_like(f), f)
+            aug_ref[:] = aug - f * pivrow
+            return 0
+
+        jax.lax.fori_loop(0, mp, body, 0)
+        aug = aug_ref[:]
+        diag = jnp.sum(
+            jnp.where(cols == rows, aug, 0.0), axis=1, keepdims=True
+        )
+        out_ref[:] = aug[:, mp : 2 * mp] / diag
+
+    out = pl.pallas_call(
+        functools.partial(kernel, mp=mp, n_lanes=n_lanes),
+        out_shape=jax.ShapeDtypeStruct((mp, mp), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(aug)
+    return out[:m, :m]

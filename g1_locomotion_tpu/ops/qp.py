@@ -60,6 +60,13 @@ class QPConfig(NamedTuple):
     # Buys ~1 digit of f32 accuracy per pass on the ill-conditioned walking
     # KKTs — the f32/TPU knife-edge mitigation (round-3: the f64-validated
     # walk falls at plain f32 on-chip).
+    polish_kernel: bool = False  # single-instance serving-latency path: the
+    # polish KKT Schur solve runs as ONE fused Pallas Gauss-Jordan kernel
+    # (ops/pallas_lin.gj_solve) instead of the spd_inverse recursion —
+    # round-4 decomposition: each polish round costs ~0.9 ms of op-launch
+    # overhead at B=1, ~all of the single-solve latency-budget miss. Only
+    # for unbatched (B=1) serving on TPU; batched throughput keeps the
+    # MXU-amortized inverse. Matmul path only.
     iter_precision: str = "highest"  # matmul precision for the ADMM iteration
     # loop only (factorization/polish always run at highest). TPU f32
     # "highest" = 6 bf16 MXU passes; "high" = 3 passes. Profiling (round 2)
@@ -141,11 +148,18 @@ def _build_K(P, A, rho_vec, sigma):
     )
 
 
-def _make_solver(K, matmul_inverse: bool):
+def _make_solver(K, matmul_inverse: bool, polish_kernel: bool = False):
     """Return a solve(rhs) closure: precomputed matmul inverse (TPU fast
-    path) or Cholesky factorization (reference path)."""
+    path) or Cholesky factorization (reference path). polish_kernel routes
+    the inverse through the single-instance fused Gauss-Jordan kernel
+    (serving-latency path, B=1)."""
     if matmul_inverse:
-        Kinv = spd_inverse(K)
+        if polish_kernel:
+            from g1_locomotion_tpu.ops.pallas_lin import gj_inverse
+
+            Kinv = gj_inverse(K)
+        else:
+            Kinv = spd_inverse(K)
         return lambda b: Kinv @ b
     L = jnp.linalg.cholesky(K)
 
@@ -224,7 +238,8 @@ def _solve_qp_impl(P, q, A, l, u, cfg, x0, y0) -> QPSolution:
     per = max(1, cfg.iters // segs)
     for s in range(segs):
         solve = _make_solver(
-            _build_K(P_s, A_s, rho_vec, cfg.sigma), cfg.matmul_inverse
+            _build_K(P_s, A_s, rho_vec, cfg.sigma), cfg.matmul_inverse,
+            cfg.polish_kernel,
         )
         num = per if s < segs - 1 else cfg.iters - per * (segs - 1)
         x, z, y = iterate((x, z, y), solve, rho_vec, num)
@@ -272,9 +287,14 @@ def _polish(P, q, A, l, u, x, y, cfg: QPConfig, rounds: int = 3):
     eye_n = jnp.eye(n, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
     # Hr is constant across rounds — compute its inverse once (matmul path).
-    Hr_inv = (
-        spd_inverse(P + cfg.polish_reg * eye_n) if cfg.matmul_inverse else None
-    )
+    if cfg.matmul_inverse and cfg.polish_kernel:
+        from g1_locomotion_tpu.ops.pallas_lin import gj_inverse
+
+        Hr_inv = gj_inverse(P + cfg.polish_reg * eye_n)
+    elif cfg.matmul_inverse:
+        Hr_inv = spd_inverse(P + cfg.polish_reg * eye_n)
+    else:
+        Hr_inv = None
 
     def kkt(xx, yy):
         zz = jnp.clip(A @ xx, l, u)
@@ -310,7 +330,13 @@ def _polish(P, q, A, l, u, x, y, cfg: QPConfig, rounds: int = 3):
             #   y = (Am Hr⁻¹ Amᵀ + Dm)⁻¹ (Am Hr⁻¹(-q) - b̃); x = Hr⁻¹(-q - Amᵀy)
             AmHi = A_m @ Hr_inv
             S = AmHi @ A_m.T + jnp.diag(1.0 - mask) + reg * eye_m
-            y_p = spd_inverse(S) @ (AmHi @ (-q) - b_t)
+            rhs_y = AmHi @ (-q) - b_t
+            if cfg.polish_kernel:
+                from g1_locomotion_tpu.ops.pallas_lin import gj_solve
+
+                y_p = gj_solve(S, rhs_y)
+            else:
+                y_p = spd_inverse(S) @ rhs_y
             x_p = Hr_inv @ (-q - A_m.T @ y_p)
         else:
             # Reference path: exact indefinite-KKT LU solve (+ optional

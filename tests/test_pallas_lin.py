@@ -60,3 +60,70 @@ def test_dispatch_stays_on_xla_for_cpu(rng):
     np.testing.assert_allclose(
         np.asarray(W), np.asarray(lin._chol_inv_base(K)), atol=0, rtol=0
     )
+
+
+def test_gj_solve_matches_dense_solve(rng):
+    """Single-instance fused Gauss-Jordan solve (the serving-latency polish
+    kernel) vs numpy on an SPD + ridge system like the polish Schur
+    complement (interpret mode — the real kernel path is TPU-only)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from g1_locomotion_tpu.ops.pallas_lin import gj_solve
+
+    m = 37
+    M = rng.standard_normal((m, m))
+    K = M @ M.T + 1e-3 * np.eye(m)
+    b = rng.standard_normal(m)
+    x = np.asarray(gj_solve(jnp.asarray(K), jnp.asarray(b), interpret=True))
+    x_ref = np.linalg.solve(K, b)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_polish_kernel_qp_matches_default(rng):
+    """solve_qp with cfg.polish_kernel=True (interpret mode) lands on the
+    same solution as the spd_inverse polish path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from unittest import mock
+    from g1_locomotion_tpu.ops import qp as qplib
+    from g1_locomotion_tpu.ops import pallas_lin
+
+    n, m = 12, 20
+    M = rng.standard_normal((n, n))
+    P = jnp.asarray(M @ M.T + np.eye(n))
+    q = jnp.asarray(rng.standard_normal(n))
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    l = jnp.asarray(rng.standard_normal(m) - 2.0)
+    u = l + 1.0
+
+    base = qplib.QPConfig(iters=60, scaling_iters=3, polish_rounds=2)
+    sol0 = qplib.solve_qp(P, q, A, l, u, cfg=base)
+    real_gj = pallas_lin.gj_solve
+    real_gji = pallas_lin.gj_inverse
+    with mock.patch.object(
+        pallas_lin, "gj_solve",
+        lambda K, b: real_gj(K, b, interpret=True),
+    ), mock.patch.object(
+        pallas_lin, "gj_inverse",
+        lambda K: real_gji(K, interpret=True),
+    ):
+        sol1 = qplib.solve_qp(
+            P, q, A, l, u, cfg=base._replace(polish_kernel=True)
+        )
+    np.testing.assert_allclose(
+        np.asarray(sol1.x), np.asarray(sol0.x), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_gj_inverse_matches_numpy(rng):
+    """Fused single-instance GJ inverse (serving-latency ADMM-segment /
+    Hr paths) vs numpy (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from g1_locomotion_tpu.ops.pallas_lin import gj_inverse
+
+    m = 21
+    M = rng.standard_normal((m, m))
+    K = M @ M.T + 1e-3 * np.eye(m)
+    Ki = np.asarray(gj_inverse(jnp.asarray(K), interpret=True))
+    np.testing.assert_allclose(Ki, np.linalg.inv(K), rtol=1e-7, atol=1e-9)

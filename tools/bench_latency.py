@@ -28,7 +28,22 @@ def main() -> None:
     from g1_locomotion_tpu.mpc import solver as mpc
 
     dtype = jnp.float32
-    cfg = mpc.MPCConfig(horizon=10)
+    from g1_locomotion_tpu.ops.qp import QPConfig
+
+    # The SERVING configuration: the bench.py throughput QP settings plus
+    # the fused single-instance Gauss-Jordan kernels (polish_kernel) that
+    # remove the op-launch-bound spd_inverse recursions — round-4 latency
+    # decomposition (tools/exp_latency_split.py): 2.4 ms -> 0.25 ms per
+    # solve. Pass "xla" to measure the plain path instead.
+    if "xla" in sys.argv[1:]:
+        cfg = mpc.MPCConfig(horizon=10)
+    else:
+        cfg = mpc.MPCConfig(
+            horizon=10,
+            qp=QPConfig(iters=20, scaling_iters=0, rho=1.0,
+                        rho_segments=2, polish_rounds=2,
+                        iter_precision="high", polish_kernel=True),
+        )
     weights = mpc.default_weights(dtype)
     params = srbd.default_params(dtype)
     N = cfg.horizon
@@ -55,7 +70,8 @@ def main() -> None:
     # paired samples of the two chain lengths; per-sample slope removes the
     # host/tunnel dispatch of that sample, the spread over samples captures
     # device-side timing variation. M via argv[1] (default 50).
-    M = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    M = int(nums[0]) if nums else 50
     ks = (2, 22)
     for k in ks:
         _ = np.asarray(chain(x0, k))  # compile/warm + sync

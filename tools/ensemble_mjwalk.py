@@ -14,7 +14,10 @@ Usage:
 Keys: tpm (ticks_per_mpc, default 40), width (step width), ds, tgain, ttol,
 dcm, gztol, lock (landing_lock), swing, vx, noise (mid-walk base push
 magnitude [m/s], default 0.05; seed 0 is always the unperturbed run, seeds
->= 1 push in a seed-dependent direction during step 1).
+>= 1 push in a seed-dependent direction during step 1), nom=1 (use the
+NOMINAL-geometry walking_scenario instead of the widened
+mujoco_walking_scenario), msw (SRBDParams.m_swing — swing-limb momentum
+preview mass [kg], default 0 = off).
 
 Prints one JSON line per member: {seed, steps_done, fell_at, pass, ...} and
 a final summary line.
@@ -112,10 +115,32 @@ def main():
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
     cfg = eng.walking_config()._replace(ticks_per_mpc=tpm)
-    params = eng.mujoco_walking_scenario(
-        jnp.float64, n_steps=n_steps, v_cmd=(vx, 0.0)
+    scenario = (
+        eng.walking_scenario if kv.get("nom") == "1"
+        else eng.mujoco_walking_scenario
     )
+    params = scenario(jnp.float64, n_steps=n_steps, v_cmd=(vx, 0.0))
     f64 = jnp.float64
+    if "msw" in kv:
+        params = params._replace(
+            srbd=params.srbd._replace(
+                m_swing=jnp.asarray(float(kv["msw"]), f64)
+            )
+        )
+    if "wy" in kv:  # lateral net-wrench pin weight (w_wrench_total[1])
+        wt = np.array(params.wbid_gains.w_wrench_total, np.float64)
+        wt[1] = float(kv["wy"])
+        params = params._replace(
+            wbid_gains=params.wbid_gains._replace(
+                w_wrench_total=jnp.asarray(wt, f64)
+            )
+        )
+    if "sway" in kv:
+        params = params._replace(
+            gait=params.gait._replace(
+                sway_gain=jnp.asarray(float(kv["sway"]), f64)
+            )
+        )
     if "width" in kv:
         params = params._replace(
             steps=params.steps._replace(
@@ -136,6 +161,7 @@ def main():
         ("gztol", "gate_z_tol"),
         ("lock", "landing_lock"),
         ("swing", "swing_duration"),
+        ("lean", "lean_gain"),
     ):
         if k in kv:
             gait = gait._replace(**{field: jnp.asarray(float(kv[k]), f64)})
