@@ -38,6 +38,11 @@ def main(argv=None) -> None:
 
     sub.add_parser("wbid-29dof", help="config 4: 29-DoF WBID cascade")
 
+    sub.add_parser(
+        "carry-walk",
+        help="config 4 walking: 29-DoF+hands carry-walk (hand hold tasks)",
+    )
+
     ps = sub.add_parser("pod-sweep", help="config 5: sharded domain randomization")
     ps.add_argument("--scenarios", type=int, default=4096)
     ps.add_argument("--periods", type=int, default=5)
@@ -74,6 +79,8 @@ def main(argv=None) -> None:
         out = demos.demo_gait_sweep(batch=args.batch, **kw)
     elif args.cmd == "wbid-29dof":
         out = demos.demo_wbid_29dof(**kw)
+    elif args.cmd == "carry-walk":
+        out = demos.demo_carry_walk(**kw)
     elif args.cmd == "pod-sweep":
         out = demos.demo_pod_sweep(
             scenarios=args.scenarios, n_periods=args.periods, **kw

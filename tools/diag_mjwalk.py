@@ -68,12 +68,14 @@ def main():
     dslow = p[9] if len(p) > 9 else 0.0
     dsmin = p[10] if len(p) > 10 else 0.4
     gztol = p[11] if len(p) > 11 else 0.06  # 99 = crouch guard off
+    msw = p[12] if len(p) > 12 else 0.0  # swing-momentum preview mass [kg]
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
     cfg = eng.walking_config()._replace(gait_gate=True)
     params = eng.mujoco_walking_scenario(jnp.float64, n_steps=n_steps,
                                          v_cmd=(vx, 0.0))
     params = params._replace(
+        srbd=params.srbd._replace(m_swing=jnp.asarray(msw, jnp.float64)),
         steps=params.steps._replace(
             step_width=jnp.asarray(width, jnp.float64),
             dcm_scale=jnp.asarray(dcm, jnp.float64),

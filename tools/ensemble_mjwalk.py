@@ -115,6 +115,8 @@ def main():
 
     model = load_robot("g1_23dof", dtype=jnp.float64)
     cfg = eng.walking_config()._replace(ticks_per_mpc=tpm)
+    if "dslow" in kv or "gwin" in kv:
+        cfg = cfg._replace(gait_gate=True)  # compile the DS-tail clock law in
     scenario = (
         eng.walking_scenario if kv.get("nom") == "1"
         else eng.mujoco_walking_scenario
@@ -162,6 +164,12 @@ def main():
         ("lock", "landing_lock"),
         ("swing", "swing_duration"),
         ("lean", "lean_gain"),
+        ("gwin", "gate_window"),
+        ("gxitol", "gate_xi_tol"),
+        ("dslow", "ds_slow_gain"),
+        ("dsmin", "ds_rate_min"),
+        ("rate", "swing_xy_rate_max"),
+        ("blend", "settle_blend_s"),
     ):
         if k in kv:
             gait = gait._replace(**{field: jnp.asarray(float(kv[k]), f64)})

@@ -47,6 +47,17 @@ def main():
         if a.startswith("blend="):
             params = params._replace(gait=params.gait._replace(
                 settle_blend_s=jnp.asarray(float(a.split("=")[1]), dtype)))
+        if a.startswith("wh="):
+            params = params._replace(wbid_gains=params.wbid_gains._replace(
+                w_hand=jnp.asarray(float(a.split("=")[1]), dtype)))
+        if a.startswith("hkd="):
+            params = params._replace(wbid_gains=params.wbid_gains._replace(
+                hand_kd=jnp.asarray(float(a.split("=")[1]), dtype)))
+        if a.startswith("comh="):
+            cfg = cfg._replace(com_height=float(a.split("=")[1]))
+        if a.startswith("wp="):
+            params = params._replace(wbid_gains=params.wbid_gains._replace(
+                w_posture=jnp.asarray(float(a.split("=")[1]), dtype)))
     rollout = eng.make_rollout(model, cfg)
     state = eng.init_state(model, cfg, dtype)
     t0 = time.time()
@@ -97,6 +108,12 @@ def main():
         "hand_err_max": round(max(errs), 4),
         "hand_err_final": round(errs[-1], 4),
     }
+    for k in range(0, com.shape[0], 500):
+        j = min(k + 499, com.shape[0] - 1)
+        print(f"t={k/1000:5.2f}-{(j+1)/1000:5.2f}s  "
+              f"z=[{com[k:j+1,2].min():.4f},{com[k:j+1,2].max():.4f}]  "
+              f"y=[{com[k:j+1,1].min():+.4f},{com[k:j+1,1].max():+.4f}]",
+              flush=True)
     out["walks"] = bool(
         out["nan_free"] and out["z_min"] > 0.45 and out["y_absmax"] < 0.25
         and abs(out["z_final"] - 0.598) < 0.03 and out["v_final_max"] < 0.3

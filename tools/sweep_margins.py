@@ -7,8 +7,9 @@ Waves:
   0 = f32 flagship bundle (walking_scenario_f32_robust at f32,
       walking_config_f32): landing_lock / dcm_scale / gate_z_tol /
       timing_gain axes.
-  1 = same axes with the swing-momentum preview on (m_swing=2) — does the
-      better MPC model widen the f32 margins?
+  1 = same axes with the swing-momentum preview on (m_swing=1; 2+ breaks
+      the internal gait, tools/sweep_msw.py) — does the better MPC model
+      widen the f32 margins?
   2 = 29-DoF w_posture axis (variant_walking_scenario, f64).
 
 Usage: python tools/sweep_margins.py [wave]
@@ -127,7 +128,9 @@ def wave_29dof():
     enable_persistent_cache()
     dtype = jnp.float64
     model = load_robot("g1_29dof", dtype=dtype)
-    cfg = eng.variant_walking_config(model)
+    # The validated 29-DoF center is plain walking_config
+    # (tests/test_variants.py::test_29dof_walks) — sweep around THAT.
+    cfg = eng.walking_config()
     base = eng.variant_walking_scenario(model, dtype, n_steps=8.0,
                                         v_cmd=(0.1, 0.0))
     specs = [("center-wp2.0", {})]
@@ -153,7 +156,7 @@ if __name__ == "__main__":
     if wave == 0:
         wave_f32(0.0)
     elif wave == 1:
-        wave_f32(2.0)
+        wave_f32(1.0)
     elif wave == 2:
         wave_29dof()
     else:
