@@ -309,6 +309,45 @@ def mujoco_walking_scenario(
     )
 
 
+def mujoco_nominal_config() -> EngineConfig:
+    """walking_config + the DS-tail clock law compiled in (gait_gate) —
+    pair with mujoco_nominal_scenario."""
+    return walking_config()._replace(gait_gate=True)
+
+
+def mujoco_nominal_scenario(
+    dtype=jnp.float32,
+    n_steps: float = 8.0,
+    v_cmd=(0.1, 0.0),
+) -> ScenarioParams:
+    """NOMINAL-geometry MuJoCo walking bundle (width 0.12 / DS 0.25 — the
+    reference's own gait constants, ros_run_simulation.py:148): DS
+    slow-down (gate_window 0.4, ds_slow_gain 3, ds_rate_min 0.5,
+    gate_xi_tol 0.02) + swing-limb momentum preview (m_swing 1 kg).
+
+    Round-4 record (tools/ensemble_mjwalk.py, mid-walk pushes): moved the
+    nominal-geometry frontier from 0/N passes at floor ~4.4 steps (round
+    3: every single-knob variation fell there) to 1/4 FULL passes
+    (8 steps + quiet stand under a push) at floor 5.4 — the measured fall
+    chain (SS lateral under-delivery -> roll ratchet -> DS transfer fails,
+    tools/diag_mjwalk.py) is broken by giving lagging weight transfers
+    more time (slow-down, never frozen) and by previewing the swing leg's
+    angular-momentum rate in the MPC model. Still short of the >=4/5
+    robustness target: the walk-to-stand capture + draw chaos
+    (docs/ROBUSTNESS.md, TODO.md). The deterministic regression gait for
+    MuJoCo stays mujoco_walking_scenario (wide stance)."""
+    p = walking_scenario(dtype, n_steps=n_steps, v_cmd=v_cmd)
+    return p._replace(
+        srbd=p.srbd._replace(m_swing=jnp.asarray(1.0, dtype)),
+        gait=p.gait._replace(
+            gate_window=jnp.asarray(0.4, dtype),
+            ds_slow_gain=jnp.asarray(3.0, dtype),
+            ds_rate_min=jnp.asarray(0.5, dtype),
+            gate_xi_tol=jnp.asarray(0.02, dtype),
+        ),
+    )
+
+
 def walking_scenario_f32_robust(
     dtype=jnp.float32,
     n_steps: float = 8.0,

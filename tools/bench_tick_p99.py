@@ -31,9 +31,22 @@ from g1_locomotion_tpu.models.robot import load_robot
 
 
 def main():
-    M = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    M = int(nums[0]) if nums else 50
     model = load_robot("g1_23dof", dtype=jnp.float32)
     cfg = eng.EngineConfig()
+    if "serving" in sys.argv[1:]:
+        # Single-robot serving path: every B=1 QP inverse through the fused
+        # Pallas Gauss-Jordan kernels (QPConfig.polish_kernel — the lever
+        # that took the bare MPC solve 2.4 -> 0.25 ms, docs/BENCHMARKS.md).
+        cfg = cfg._replace(
+            mpc=cfg.mpc._replace(
+                qp=cfg.mpc.qp._replace(polish_kernel=True)
+            ),
+            wbid=cfg.wbid._replace(
+                qp=cfg.wbid.qp._replace(polish_kernel=True)
+            ),
+        )
     params = eng.default_scenario(jnp.float32)
     state0 = eng.init_state(model, cfg, jnp.float32)
     rollout = eng.make_rollout(model, cfg)
