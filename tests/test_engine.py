@@ -87,6 +87,51 @@ def test_push_recovery(g1):
     assert float(jnp.linalg.norm(final.v[:6])) < 0.1
 
 
+def test_gait_gate_compiled_out(g1):
+    """The xi-gate / DS-slow-down block is compiled OUT of the production
+    tick (EngineConfig.gait_gate=False, the default) and IN when requested
+    (mujoco_nominal_config): the lowered production program is strictly
+    smaller, and under the flag the DS-tail clock actually slows."""
+    from functools import partial
+
+    from g1_locomotion_tpu.wbid.stack import StackIndices
+
+    f64 = jnp.float64
+    idx = StackIndices.from_model(g1)
+    params = eng.mujoco_nominal_scenario(f64)
+    # Force a maximal slow-down regardless of the initial state's DCM sign:
+    # a hugely negative tolerance makes gate_err - tol large for any state.
+    params = params._replace(
+        gait=params.gait._replace(
+            gate_xi_tol=jnp.asarray(-10.0, f64),
+            ds_slow_gain=jnp.asarray(100.0, f64),
+            ds_rate_min=jnp.asarray(0.25, f64),
+        )
+    )
+    texts, advance = {}, {}
+    for gate in (False, True):
+        cfg = eng.walking_config()._replace(gait_gate=gate)
+        state = eng.init_state(g1, cfg, f64)
+        # Clock in the DS tail of step 0: gate window 0.4 of ds=0.25 puts
+        # the gate in t_in_step in (0.15, 0.25); 0.17 stays below the
+        # 0.8*ds crouch-guard window so only the gate law differs.
+        state = state._replace(
+            gait_clock=params.gait.start_time + jnp.asarray(0.17, f64)
+        )
+        fn = jax.jit(partial(eng._wbid_tick, g1, idx, cfg, params))
+        alpha = jnp.asarray(1.0, f64)
+        texts[gate] = fn.lower(state, alpha).as_text()
+        new, _ = fn(state, alpha)
+        advance[gate] = float(new.gait_clock - state.gait_clock)
+    dt = float(eng.walking_config().plant.dt)
+    # Production tick: the gate computation is absent from the program and
+    # the clock runs at rate 1 even with slow-down params in scope.
+    assert len(texts[False]) < len(texts[True])
+    np.testing.assert_allclose(advance[False], dt, rtol=1e-9)
+    # Gated tick: the same state/params slow the DS-tail clock to the floor.
+    np.testing.assert_allclose(advance[True], 0.25 * dt, rtol=1e-9)
+
+
 def test_velocity_drift_bounded(g1, standing_engine):
     cfg, params, rollout = standing_engine
     state = eng.init_state(g1, cfg, jnp.float64)
