@@ -276,3 +276,109 @@ def gj_inverse(K: jnp.ndarray, interpret: bool = False):
         interpret=interpret,
     )(aug)
     return out[:m, :m]
+
+
+# ---------------------------------------------------------------------------
+# Single-instance fused ADMM iteration loop — the serving-latency kernel for
+# the WHOLE solver loop, not just its inverses.
+# ---------------------------------------------------------------------------
+#
+# With the Gauss-Jordan kernels above, the B=1 solve's remaining latency is
+# the ADMM loop itself: each of the ~25-50 iterations is ~6 tiny XLA ops
+# (two matvecs, one Kinv apply, clips) whose launch overheads dominate at
+# these sizes (the WBID QP is n=41, m~60; the round-4 tick decomposition).
+# This kernel runs the ENTIRE segment — `num` iterations of the relaxed
+# ADMM update — inside one Pallas launch with K^{-1}, A, A^T and all
+# vectors resident in VMEM. Matvecs ride the MXU at Precision.HIGHEST (the
+# ill-conditioned QPs corrupt under reduced-precision passes, ops/qp.py).
+
+
+def _admm_kernel(
+    kinv_ref, a_ref, at_ref, q_ref, l_ref, u_ref, rho_ref,
+    x_ref, z_ref, y_ref, xo_ref, zo_ref, yo_ref,
+    *, num: int, sigma: float, alpha: float,
+):
+    Kinv = kinv_ref[:]   # (np, np), zero outside the live n x n block
+    A = a_ref[:]         # (mp, np)
+    AT = at_ref[:]       # (np, mp)
+    qv = q_ref[:]        # (1, np)
+    lv = l_ref[:]
+    uv = u_ref[:]        # (1, mp)
+    rho = rho_ref[:]     # (1, mp), padding lanes = 1 (never divide by 0)
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(_, carry):
+        x, z, y = carry
+        rhs = sigma * x - qv + jnp.dot(rho * z - y, A, precision=hi)
+        x_t = jnp.dot(rhs, Kinv, precision=hi)  # Kinv symmetric: Kinv @ rhs
+        z_t = jnp.dot(x_t, AT, precision=hi)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_ax = alpha * z_t + (1.0 - alpha) * z
+        z_n = jnp.clip(z_ax + y / rho, lv, uv)
+        y_n = y + rho * (z_ax - z_n)
+        return (x_n, z_n, y_n)
+
+    x, z, y = jax.lax.fori_loop(
+        0, num, body, (x_ref[:], z_ref[:], y_ref[:])
+    )
+    xo_ref[:] = x
+    zo_ref[:] = z
+    yo_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num", "sigma", "alpha", "interpret")
+)
+def admm_iterate(
+    Kinv: jnp.ndarray,   # (n, n) precomputed K^{-1} (SPD)
+    A: jnp.ndarray,      # (m, n)
+    q: jnp.ndarray,      # (n,)
+    l: jnp.ndarray,      # (m,)
+    u: jnp.ndarray,      # (m,)
+    rho_vec: jnp.ndarray,  # (m,)
+    x: jnp.ndarray,      # (n,)
+    z: jnp.ndarray,      # (m,)
+    y: jnp.ndarray,      # (m,)
+    num: int,
+    sigma: float,
+    alpha: float,
+    interpret: bool = False,
+):
+    """`num` relaxed-ADMM iterations for ONE QP in one fused TPU kernel.
+
+    Bit-for-bit the update of ops.qp._solve_qp_impl.iterate with a
+    precomputed-inverse solver; returns (x, z, y). Zero padding keeps the
+    dead lanes inert: padded rho is 1, padded l = u = 0, so padded z/y stay
+    exactly 0 through every iteration.
+    """
+    m, n = A.shape
+    dtype = A.dtype
+    np_ = ((n + 127) // 128) * 128
+    mp_ = ((m + 127) // 128) * 128
+
+    def padm(M, r, c):
+        out = jnp.zeros((r, c), dtype)
+        return out.at[: M.shape[0], : M.shape[1]].set(M)
+
+    def padv(v, c, fill=0.0):
+        out = jnp.full((1, c), fill, dtype)
+        return out.at[0, : v.shape[0]].set(v)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _admm_kernel, num=num, sigma=float(sigma), alpha=float(alpha)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, np_), dtype),
+            jax.ShapeDtypeStruct((1, mp_), dtype),
+            jax.ShapeDtypeStruct((1, mp_), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(
+        padm(Kinv, np_, np_), padm(A, mp_, np_), padm(A.T, np_, mp_),
+        padv(q, np_), padv(l, mp_), padv(u, mp_), padv(rho_vec, mp_, 1.0),
+        padv(x, np_), padv(z, mp_), padv(y, mp_),
+    )
+    return outs[0][0, :n], outs[1][0, :m], outs[2][0, :m]

@@ -237,12 +237,29 @@ def _solve_qp_impl(P, q, A, l, u, cfg, x0, y0) -> QPSolution:
     segs = max(1, cfg.rho_segments)
     per = max(1, cfg.iters // segs)
     for s in range(segs):
-        solve = _make_solver(
-            _build_K(P_s, A_s, rho_vec, cfg.sigma), cfg.matmul_inverse,
-            cfg.polish_kernel,
-        )
         num = per if s < segs - 1 else cfg.iters - per * (segs - 1)
-        x, z, y = iterate((x, z, y), solve, rho_vec, num)
+        if cfg.polish_kernel and cfg.matmul_inverse:
+            # Serving-latency path: the whole segment — K^{-1} and all
+            # `num` iterations — runs as two fused Pallas launches instead
+            # of ~6*num tiny XLA ops (the B=1 tick's dominant launch
+            # overhead after the GJ polish kernels, round-4 decomposition).
+            # Iterations run at HIGHEST precision (the kernel's only mode).
+            from g1_locomotion_tpu.ops.pallas_lin import (
+                admm_iterate as _admm_fused,
+                gj_inverse as _gj_inv,
+            )
+
+            Kinv = _gj_inv(_build_K(P_s, A_s, rho_vec, cfg.sigma))
+            x, z, y = _admm_fused(
+                Kinv, A_s, q_s, l_s, u_s, rho_vec, x, z, y,
+                num, cfg.sigma, cfg.alpha,
+            )
+        else:
+            solve = _make_solver(
+                _build_K(P_s, A_s, rho_vec, cfg.sigma), cfg.matmul_inverse,
+                cfg.polish_kernel,
+            )
+            x, z, y = iterate((x, z, y), solve, rho_vec, num)
         if s < segs - 1:
             Ax = A_s @ x
             pri = _inf_norm(Ax - z) / jnp.maximum(

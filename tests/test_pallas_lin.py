@@ -127,3 +127,48 @@ def test_gj_inverse_matches_numpy(rng):
     K = M @ M.T + 1e-3 * np.eye(m)
     Ki = np.asarray(gj_inverse(jnp.asarray(K), interpret=True))
     np.testing.assert_allclose(Ki, np.linalg.inv(K), rtol=1e-7, atol=1e-9)
+
+
+def test_admm_iterate_matches_xla_loop(rng):
+    """Fused ADMM-loop kernel (serving path) vs the exact ops/qp.py iterate
+    math on a random bounded QP — including non-tile-aligned n, m."""
+    from g1_locomotion_tpu.ops.pallas_lin import admm_iterate
+
+    f32 = jnp.float32
+    n, m = 13, 21
+    P = _random_spd(rng, 1, n, cond=1e2)[0]
+    A = jnp.asarray(rng.standard_normal((m, n)), f32)
+    q = jnp.asarray(rng.standard_normal(n), f32)
+    l = jnp.asarray(-np.abs(rng.standard_normal(m)) - 0.1, f32)
+    u = jnp.asarray(np.abs(rng.standard_normal(m)) + 0.1, f32)
+    rho = jnp.asarray(np.abs(rng.standard_normal(m)) + 0.5, f32)
+    sigma, alpha, num = 1e-6, 1.6, 17
+
+    K = P + sigma * jnp.eye(n, dtype=f32) + (A.T * rho[None, :]) @ A
+    Kinv = jnp.asarray(
+        np.linalg.inv(np.asarray(K, np.float64)), f32
+    )
+
+    x = jnp.zeros(n, f32)
+    z = jnp.zeros(m, f32)
+    y = jnp.zeros(m, f32)
+    xr, zr, yr = x, z, y
+    for _ in range(num):
+        rhs = sigma * xr - q + A.T @ (rho * zr - yr)
+        x_t = Kinv @ rhs
+        z_t = A @ x_t
+        x_n = alpha * x_t + (1 - alpha) * xr
+        z_ax = alpha * z_t + (1 - alpha) * zr
+        z_n = jnp.clip(z_ax + yr / rho, l, u)
+        yr = yr + rho * (z_ax - z_n)
+        xr, zr = x_n, z_n
+
+    xk, zk, yk = admm_iterate(
+        Kinv, A, q, l, u, rho, x, z, y, num, sigma, alpha, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xr), atol=2e-4,
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(zk), np.asarray(zr), atol=2e-4,
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=2e-4,
+                               rtol=2e-4)
