@@ -34,6 +34,13 @@ class FootstepConfig(NamedTuple):
                                # steps) with full sagittal capture (round-3
                                # sweep: dcm 0.8 both-axes is stable at
                                # 0.05 m/s but walks in place)
+    final_widen: jnp.ndarray = 0.0  # terminal stance widening [m]: the last
+                               # TWO landings of the gait go this much
+                               # further outboard, so the walk tail and the
+                               # settle stand on a wider support base while
+                               # the gait itself keeps its nominal geometry
+                               # (the human terminal-capture strategy).
+                               # 0 = disabled (flagship default).
 
 
 def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
@@ -43,6 +50,7 @@ def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
         raibert_gain=jnp.asarray(0.03, dtype),
         dcm_scale=jnp.asarray(1.0, dtype),
         dcm_scale_x=jnp.asarray(jnp.nan, dtype),
+        final_widen=jnp.asarray(0.0, dtype),
     )
 
 

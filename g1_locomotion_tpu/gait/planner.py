@@ -188,9 +188,18 @@ def plan_horizon(
         gait, omega0, W, xi_rel, t_in_step, swing_is_left
     )
     xi_nom = gs.touchdown_dcm_nominal(gait, omega0, W, swing_is_left)
+    # Terminal stance widening (steps.final_widen > 0): the last two
+    # landings go final_widen further outboard, so the walk tail and the
+    # settle inherit a wide support base while the gait keeps its nominal
+    # geometry. The in-step centerline stays at nominal W — after a widened
+    # step n-2 landing that rides the CoM reference closer to the stance
+    # foot, which is the intent for a terminal capture.
+    w_land = W + steps.final_widen * jnp.clip(
+        step_idx - (gait.n_steps - 2.0) + 1.0, 0.0, 1.0
+    )
     y_land = (
         line_y
-        + jnp.where(swing_is_left, W, -W)
+        + jnp.where(swing_is_left, w_land, -w_land)
         + steps.dcm_scale * (xi_pred - xi_nom)
     )
     y_land = clip_landing_y(y_land, p_sy, swing_is_left)

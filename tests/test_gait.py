@@ -360,3 +360,47 @@ def test_landing_lock_freezes_committed_foothold():
         delta[mask], np.broadcast_to(expect, delta[mask].shape), atol=1e-12
     )
     np.testing.assert_allclose(delta[~mask], 0.0, atol=1e-12)
+
+
+def test_final_widen_terminal_landings():
+    """steps.final_widen widens exactly the last TWO landings of the gait
+    (outboard on the swing side) and is bit-neutral at 0 — the terminal
+    stance widening that hands the settle a wide support base."""
+    from g1_locomotion_tpu.gait import planner
+
+    f64 = jnp.float64
+    cfg = schedule.default_gait(f64)  # n_steps=8
+    x0 = (
+        jnp.zeros(13, f64)
+        .at[5].set(0.598)
+        .at[9].set(0.1)
+        .at[12].set(-9.80665)
+    )
+    cpos = jnp.array(
+        [[-0.05, 0.12, 0.0], [0.12, 0.12, 0.0],
+         [-0.05, -0.12, 0.0], [0.12, -0.12, 0.0]], f64
+    )
+    half = float(cfg.swing_duration) + float(cfg.double_support_duration)
+
+    def landing_at(step, widen):
+        steps = footsteps.default_footsteps(f64)._replace(
+            final_widen=jnp.asarray(widen, f64)
+        )
+        t = float(cfg.start_time) + (step + 0.7) * half  # mid-swing
+        plan = planner.plan_horizon(
+            cfg, steps, jnp.array([0.1, 0.0], f64), x0, cpos,
+            jnp.asarray(t, f64), 10, 0.04, 0.598,
+        )
+        return np.asarray(plan.landing)
+
+    for step in (0, 3, 5):  # early/mid steps: untouched
+        np.testing.assert_array_equal(
+            landing_at(step, 0.04), landing_at(step, 0.0)
+        )
+    for step in (6, 7):  # last two: exactly final_widen further outboard
+        base, wide = landing_at(step, 0.0), landing_at(step, 0.04)
+        swing_is_left = step % 2 == 0
+        d = wide[1] - base[1]
+        np.testing.assert_allclose(d, 0.04 if swing_is_left else -0.04,
+                                   atol=1e-12)
+        np.testing.assert_array_equal(wide[0], base[0])

@@ -155,6 +155,12 @@ def main():
                 dcm_scale=jnp.asarray(float(kv["dcm"]), f64)
             )
         )
+    if "fwiden" in kv:  # terminal stance widening (last two landings)
+        params = params._replace(
+            steps=params.steps._replace(
+                final_widen=jnp.asarray(float(kv["fwiden"]), f64)
+            )
+        )
     gait = params.gait
     for k, field in (
         ("ds", "double_support_duration"),
