@@ -105,6 +105,13 @@ class GaitConfig(NamedTuple):
     # during this blend window (upright at t_end+0.3 s, pitch -0.87 by
     # t_end+1.1 s).
     settle_blend_s: jnp.ndarray
+    # Exit-blend stretch for the lateral orbit after the last touchdown
+    # [multiples of the DS window; 1 = the round-2 behavior]. The
+    # walk-to-stand transfer is the last weight transfer of the gait; at
+    # nominal stance width real feet need more than one DS window of time
+    # to bring the swaying CoM back to the centerline (see
+    # lateral_orbit_reference).
+    exit_blend_scale: jnp.ndarray = 1.0
 
 
 def default_gait(dtype=jnp.float32) -> GaitConfig:
@@ -127,6 +134,7 @@ def default_gait(dtype=jnp.float32) -> GaitConfig:
         landing_lock=jnp.asarray(1.0, dtype),
         lean_gain=jnp.asarray(0.0, dtype),
         settle_blend_s=jnp.asarray(1.0, dtype),
+        exit_blend_scale=jnp.asarray(1.0, dtype),
     )
 
 
@@ -253,9 +261,20 @@ def lateral_orbit_reference(
         s_in = jnp.clip(tau / jnp.maximum(ds, 1e-6), 0.0, 1.0)
         beta = 0.5 * (1.0 - jnp.cos(jnp.pi * s_in))
         X = X * beta
-        # Exit blend over one DS after the last touchdown.
+        # Exit blend after the last touchdown: the walk-to-stand weight
+        # transfer (last stance side -> centerline). One DS window by
+        # default; exit_blend_scale stretches it — the settle analogue of
+        # the DS slow-down (round-4 MuJoCo nominal-geometry diagnosis: the
+        # unperturbed draw walks all 8 steps and capsizes laterally 0.5 s
+        # into the settle — the 0.25 s return-to-center demands lateral
+        # force line-contact feet cannot deliver, with no next step left
+        # to absorb the shortfall).
         t_end = cfg.n_steps * half
-        s_out = jnp.clip((tau - t_end) / jnp.maximum(ds, 1e-6), 0.0, 1.0)
+        s_out = jnp.clip(
+            (tau - t_end)
+            / jnp.maximum(ds * cfg.exit_blend_scale, 1e-6),
+            0.0, 1.0,
+        )
         X_end_hold = _orbit_eval(cfg, omega0, W, X0, jnp.zeros_like(t_in))
         last_even = jnp.mod(jnp.maximum(cfg.n_steps, 0.0), 2.0) < 0.5
         # State at gait end = DS-start state of the (virtual) next step.

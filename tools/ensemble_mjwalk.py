@@ -176,6 +176,7 @@ def main():
         ("dsmin", "ds_rate_min"),
         ("rate", "swing_xy_rate_max"),
         ("blend", "settle_blend_s"),
+        ("exit", "exit_blend_scale"),
     ):
         if k in kv:
             gait = gait._replace(**{field: jnp.asarray(float(kv[k]), f64)})
