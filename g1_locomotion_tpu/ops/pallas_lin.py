@@ -310,7 +310,11 @@ def _admm_kernel(
     def body(_, carry):
         x, z, y = carry
         rhs = sigma * x - qv + jnp.dot(rho * z - y, A, precision=hi)
-        x_t = jnp.dot(rhs, Kinv, precision=hi)  # Kinv symmetric: Kinv @ rhs
+        # kinv_ref holds Kinv^T, so rhs @ Kinv^T sums the exact same
+        # products as the XLA path's Kinv @ rhs (GJ output is not exactly
+        # symmetric in floating point — padding the transpose keeps the
+        # two paths element-for-element identical).
+        x_t = jnp.dot(rhs, Kinv, precision=hi)
         z_t = jnp.dot(x_t, AT, precision=hi)
         x_n = alpha * x_t + (1.0 - alpha) * x
         z_ax = alpha * z_t + (1.0 - alpha) * z
@@ -346,8 +350,11 @@ def admm_iterate(
 ):
     """`num` relaxed-ADMM iterations for ONE QP in one fused TPU kernel.
 
-    Bit-for-bit the update of ops.qp._solve_qp_impl.iterate with a
-    precomputed-inverse solver; returns (x, z, y). Zero padding keeps the
+    Matches the update of ops.qp._solve_qp_impl.iterate with a
+    precomputed-inverse solver (the x-update runs as rhs @ Kinv^T, which
+    sums the same products as Kinv @ rhs); returns (x, z, y). Runs at
+    Precision.HIGHEST regardless of QPConfig.iter_precision (see the
+    QPConfig field note). Zero padding keeps the
     dead lanes inert: padded rho is 1, padded l = u = 0, so padded z/y stay
     exactly 0 through every iteration.
     """
@@ -377,7 +384,7 @@ def admm_iterate(
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
         interpret=interpret,
     )(
-        padm(Kinv, np_, np_), padm(A, mp_, np_), padm(A.T, np_, mp_),
+        padm(Kinv.T, np_, np_), padm(A, mp_, np_), padm(A.T, np_, mp_),
         padv(q, np_), padv(l, mp_), padv(u, mp_), padv(rho_vec, mp_, 1.0),
         padv(x, np_), padv(z, mp_), padv(y, mp_),
     )

@@ -68,7 +68,10 @@ class QPConfig(NamedTuple):
     # for unbatched (B=1) serving on TPU; batched throughput keeps the
     # MXU-amortized inverse. Matmul path only.
     iter_precision: str = "highest"  # matmul precision for the ADMM iteration
-    # loop only (factorization/polish always run at highest). TPU f32
+    # loop only (factorization/polish always run at highest). NOTE: ignored
+    # when polish_kernel=True — the fused Pallas ADMM kernel runs HIGHEST
+    # only (its matvecs are launch-bound at B=1, so there is nothing to buy
+    # with reduced precision there). TPU f32
     # "highest" = 6 bf16 MXU passes; "high" = 3 passes. Profiling (round 2)
     # showed the iteration matvecs at highest precision are ~78% of the MPC
     # solve; the iterations only need to land in the right active-set basin —

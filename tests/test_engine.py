@@ -126,7 +126,18 @@ def test_gait_gate_compiled_out(g1):
     dt = float(eng.walking_config().plant.dt)
     # Production tick: the gate computation is absent from the program and
     # the clock runs at rate 1 even with slow-down params in scope.
-    assert len(texts[False]) < len(texts[True])
+    # Content-based check (not raw text length, which tracks formatting):
+    # the gated program must lower strictly more StableHLO ops — the
+    # DCM-prediction/slow-down block adds real computation.
+    import re
+
+    def op_count(text):
+        return len(re.findall(r"stablehlo\.\w+", text))
+
+    assert op_count(texts[False]) < op_count(texts[True]), (
+        op_count(texts[False]),
+        op_count(texts[True]),
+    )
     np.testing.assert_allclose(advance[False], dt, rtol=1e-9)
     # Gated tick: the same state/params slow the DS-tail clock to the floor.
     np.testing.assert_allclose(advance[True], 0.25 * dt, rtol=1e-9)

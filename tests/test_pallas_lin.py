@@ -100,12 +100,16 @@ def test_polish_kernel_qp_matches_default(rng):
     sol0 = qplib.solve_qp(P, q, A, l, u, cfg=base)
     real_gj = pallas_lin.gj_solve
     real_gji = pallas_lin.gj_inverse
+    real_admm = pallas_lin.admm_iterate
     with mock.patch.object(
         pallas_lin, "gj_solve",
         lambda K, b: real_gj(K, b, interpret=True),
     ), mock.patch.object(
         pallas_lin, "gj_inverse",
         lambda K: real_gji(K, interpret=True),
+    ), mock.patch.object(
+        pallas_lin, "admm_iterate",
+        lambda *a, **kw: real_admm(*a, **kw, interpret=True),
     ):
         sol1 = qplib.solve_qp(
             P, q, A, l, u, cfg=base._replace(polish_kernel=True)
