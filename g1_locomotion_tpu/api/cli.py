@@ -27,6 +27,9 @@ def main(argv=None) -> None:
     )
     wm.add_argument("--steps", type=int, default=6)
     wm.add_argument("--vx", type=float, default=0.1)
+    wm.add_argument("--view", action="store_true", help="live MuJoCo viewer "
+                    "during the run (the reference watches its sim live, "
+                    "ros_run_simulation.py:177,519); needs a display")
 
     pr = sub.add_parser("push-recovery", help="config 2: N=20 push recovery")
     pr.add_argument("--push-x", type=float, default=0.25)
@@ -69,7 +72,7 @@ def main(argv=None) -> None:
         )
     elif args.cmd == "walking-mujoco":
         out = demos.demo_walking_mujoco(
-            n_steps=args.steps, v_cmd=(args.vx, 0.0)
+            n_steps=args.steps, v_cmd=(args.vx, 0.0), view=args.view
         )
     elif args.cmd == "push-recovery":
         out = demos.demo_push_recovery(

@@ -72,6 +72,7 @@ def demo_walking(
 def demo_walking_mujoco(
     n_steps: int = 6,
     v_cmd=(0.1, 0.0),
+    view: bool = False,
 ):
     """Config 1 under REAL MuJoCo unilateral contacts: the validated 6-step
     walk + settle to quiet standing (3x the reference demo's 2-3 steps).
@@ -86,7 +87,7 @@ def demo_walking_mujoco(
     params = eng.mujoco_walking_scenario(
         jnp.float64, n_steps=float(n_steps), v_cmd=v_cmd
     )
-    loop = MujocoLoop(model, cfg=cfg, params=params)
+    loop = MujocoLoop(model, cfg=cfg, params=params, view=view)
     t0 = time.time()
     total = int((0.5 + n_steps * 0.6 + 1.5) * 1000)
     log = loop.run(total)

@@ -43,10 +43,17 @@ class MujocoLoop:
         variant: str = "g1_23dof",
         settle_ticks: int = 3000,
         settle_quiet: float = 0.03,
+        view: bool = False,
     ):
         import mujoco
 
         self._mujoco = mujoco
+        # Live interactive viewer during the run — the reference watches
+        # MuJoCo's viewer + rviz live (ros_run_simulation.py:177,519); the
+        # passive viewer is synced once per control tick in run(). Requires
+        # a display; replay (utils/replay.py) stays the headless analogue.
+        self._viewer = None
+        self._view_requested = view
         self.model = model
         self.cfg = cfg or eng.EngineConfig()
         self.params = params or eng.default_scenario(jnp.float64)
@@ -124,6 +131,12 @@ class MujocoLoop:
         from g1_locomotion_tpu.utils.stats import StatisticsRegistry
 
         self.stats = StatisticsRegistry(topic="/mujoco_loop_statistics")
+        if self._view_requested:
+            import mujoco.viewer
+
+            self._viewer = mujoco.viewer.launch_passive(
+                self.mj_model, self.mj_data
+            )
         # Global tick counter: the MPC cadence (every ticks_per_mpc) must be
         # phase-continuous across run() calls — a per-call counter made
         # chunked runs re-solve the MPC at every chunk boundary, silently
@@ -232,6 +245,11 @@ class MujocoLoop:
                 tau, -np.asarray(self.model.tau_max), np.asarray(self.model.tau_max)
             )
             mujoco.mj_step(self.mj_model, self.mj_data)
+            if self._viewer is not None:
+                if not self._viewer.is_running():
+                    self._viewer = None  # window closed — keep simulating
+                else:
+                    self._viewer.sync()
 
             log["com"].append(np.asarray(ticklog.com))
             log["tau"].append(tau)
