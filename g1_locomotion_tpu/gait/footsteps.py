@@ -41,6 +41,23 @@ class FootstepConfig(NamedTuple):
                                # the gait itself keeps its nominal geometry
                                # (the human terminal-capture strategy).
                                # 0 = disabled (flagship default).
+    dcm_err_gain: jnp.ndarray = 0.0  # state-scheduled lateral DCM gain
+                               # [1/m]: the effective placement gain becomes
+                               # dcm_scale + dcm_err_gain*|xi_pred - xi_nom|
+                               # — ON the periodic orbit (error ~ 0) the
+                               # feedback slope is exactly dcm_scale (the
+                               # validated behavior is preserved), while a
+                               # large transfer miss steps PROPORTIONALLY
+                               # harder. Round-5 lever against the
+                               # point-like dcm_scale knife edge
+                               # (docs/ROBUSTNESS.md): the fixed gain must
+                               # trade on-orbit smoothness against capture
+                               # authority; the schedule decouples them.
+                               # 0 = disabled (bit-neutral).
+    dcm_corr_max: jnp.ndarray = 1.0  # cap [m] on the scheduled lateral DCM
+                               # correction (safety for the schedule; the
+                               # 1 m default never binds — the separation
+                               # clip is tighter).
 
 
 def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
@@ -51,6 +68,8 @@ def default_footsteps(dtype=jnp.float32) -> FootstepConfig:
         dcm_scale=jnp.asarray(1.0, dtype),
         dcm_scale_x=jnp.asarray(jnp.nan, dtype),
         final_widen=jnp.asarray(0.0, dtype),
+        dcm_err_gain=jnp.asarray(0.0, dtype),
+        dcm_corr_max=jnp.asarray(1.0, dtype),
     )
 
 

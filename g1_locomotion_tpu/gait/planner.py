@@ -197,10 +197,18 @@ def plan_horizon(
     w_land = W + steps.final_widen * jnp.clip(
         step_idx - (gait.n_steps - 2.0) + 1.0, 0.0, 1.0
     )
+    # State-scheduled lateral DCM gain (steps.dcm_err_gain > 0): slope
+    # dcm_scale on the orbit, proportionally harder stepping off it (the
+    # round-5 knife-edge lever — see FootstepConfig.dcm_err_gain).
+    e_xi = xi_pred - xi_nom
+    eff_scale = steps.dcm_scale + steps.dcm_err_gain * jnp.abs(e_xi)
+    corr_y = jnp.clip(
+        eff_scale * e_xi, -steps.dcm_corr_max, steps.dcm_corr_max
+    )
     y_land = (
         line_y
         + jnp.where(swing_is_left, w_land, -w_land)
-        + steps.dcm_scale * (xi_pred - xi_nom)
+        + corr_y
     )
     y_land = clip_landing_y(y_land, p_sy, swing_is_left)
 

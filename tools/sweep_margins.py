@@ -121,6 +121,36 @@ def wave_f32(msw: float):
     report(specs, final, logs, cfg.com_height, extra={"m_swing": msw})
 
 
+def wave_dcm_sched():
+    """Round-5 wave 3: state-scheduled DCM gain (FootstepConfig.dcm_err_gain)
+    x dcm_scale grid on the f32 flagship bundle. Question: does a nonzero
+    error-proportional term open a RANGE on dcm_scale (point-like at 1.3,
+    docs/ROBUSTNESS.md)?"""
+    from g1_locomotion_tpu.models.robot import load_robot
+    from g1_locomotion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    dtype = jnp.float32
+    model = load_robot("g1_23dof", dtype=dtype)
+    cfg = eng.walking_config_f32()
+    base = eng.walking_scenario_f32_robust(dtype, n_steps=8.0,
+                                           v_cmd=(0.1, 0.0))
+    specs = []
+    for dcm in (1.1, 1.2, 1.3, 1.4):
+        for eg in (0.0, 10.0, 25.0, 50.0):
+            specs.append((
+                f"dcm{dcm}-eg{eg}",
+                {"s_dcm_scale": dcm, "s_dcm_err_gain": eg},
+            ))
+    built = [apply(base, ov, dtype) for _, ov in specs]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
+    rollout = eng.make_rollout(model, cfg)
+    state0 = eng.init_state(model, cfg, dtype)
+    run = jax.jit(jax.vmap(lambda p: rollout(state0, p, 180)))
+    final, logs = jax.block_until_ready(run(batch))
+    report(specs, final, logs, cfg.com_height)
+
+
 def wave_29dof():
     from g1_locomotion_tpu.models.robot import load_robot
     from g1_locomotion_tpu.utils.cache import enable_persistent_cache
@@ -151,6 +181,39 @@ def wave_29dof():
     report(specs, final, logs, cfg.com_height)
 
 
+def wave_29dof_torso():
+    """Round-5 wave 4: 29-DoF w_posture axis WITH the torso-orientation task
+    compiled in (EngineConfig.torso_task — the round-3 mechanism built for
+    exactly this variant but absent from the validated bundle). Question:
+    does holding the upper body by orientation rather than posture alone
+    turn the point-like w_posture=2.0 into a range?"""
+    from g1_locomotion_tpu.models.robot import load_robot
+    from g1_locomotion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    dtype = jnp.float64
+    model = load_robot("g1_29dof", dtype=dtype)
+    cfg = eng.walking_config()._replace(torso_task=True)
+    base = eng.variant_walking_scenario(model, dtype, n_steps=8.0,
+                                        v_cmd=(0.1, 0.0))
+    wps = (1.0, 1.5, 2.0, 2.5, 3.0, 4.0)
+    specs = [(f"torso-wp{wp}", {}) for wp in wps]
+    built = [
+        base._replace(
+            wbid_gains=base.wbid_gains._replace(
+                w_posture=jnp.asarray(wp, dtype)
+            )
+        )
+        for wp in wps
+    ]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
+    rollout = eng.make_rollout(model, cfg)
+    state0 = eng.init_state(model, cfg, dtype)
+    run = jax.jit(jax.vmap(lambda p: rollout(state0, p, 163)))
+    final, logs = jax.block_until_ready(run(batch))
+    report(specs, final, logs, cfg.com_height)
+
+
 if __name__ == "__main__":
     wave = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     if wave == 0:
@@ -159,5 +222,9 @@ if __name__ == "__main__":
         wave_f32(1.0)
     elif wave == 2:
         wave_29dof()
+    elif wave == 3:
+        wave_dcm_sched()
+    elif wave == 4:
+        wave_29dof_torso()
     else:
         raise SystemExit(f"unknown wave {wave}")
