@@ -29,6 +29,15 @@ class WBIDConfig(NamedTuple):
     # posture solved as a lexicographic cascade (wbid/ihqp.py). ~3x the QP
     # cost; the production engine keeps the weighted sum.
     strict_hierarchy: bool = False
+    # Op-count-lean task-stack assembly (stack.build_qp fast=True): batched
+    # multi-frame Jacobians, A_G-based momentum, template constraint rows —
+    # mathematically identical blocks, ~5x fewer XLA ops. The B=1 serving
+    # tick is op-launch-bound in the assembly (round-5 decomposition:
+    # build_qp 1.38 ms of the 1.59 ms tick), so this is the serving-latency
+    # lever; default OFF to keep the validated walking bundles' op schedule
+    # bit-identical (closed-loop walking is chaotic at the ulp level,
+    # CLAUDE.md).
+    fast_stack: bool = False
 
 
 class WBIDSolution(NamedTuple):
@@ -55,7 +64,8 @@ def solve(
 
         return solve_ihqp(model, idx, cfg, gains, q, v, refs, body_X=body_X)
     H, g, C, l, u, (M, h, Jc_T) = build_qp(
-        model, idx, gains, q, v, refs, cfg.dt, body_X=body_X
+        model, idx, gains, q, v, refs, cfg.dt, body_X=body_X,
+        fast=cfg.fast_stack,
     )
     sol = qplib.solve_qp(H, g, C, l, u, cfg=cfg.qp)
 

@@ -117,6 +117,29 @@ def _all_task_drifts(model, q, v, idx):
     return d[0:3], d[3:9], d[9:15], d[15:21], d[21:24]
 
 
+def _all_task_drifts_fast(model, q, v, idx):
+    """Op-count-lean twin of :func:`_all_task_drifts` (same mathematical
+    values): frame velocities via the BATCHED multi-frame Jacobian and the
+    momentum via A_G(q) v (the closed-form centroidal matrix) instead of the
+    per-body sequential loop — the jvp then differentiates a handful of
+    einsums rather than ~nb small-op blocks. Serving-latency path
+    (WBIDConfig.fast_stack)."""
+
+    def f(t):
+        q_t = rb.integrate_q(model, q, v, t)
+        X_t = rb.fk(model, q_t)
+        com_v = rb.com_jacobian(model, q_t, X_t) @ v
+        Js = rb.frame_jacobians(
+            model, q_t, X_t, (idx.pelvis,) + tuple(idx.feet)
+        )  # (3, 6, nv)
+        vels = jnp.einsum("kin,n->ki", Js, v).reshape(-1)  # (18,)
+        L = centroidal_momentum_matrix(model, q_t, X_t) @ v
+        return jnp.concatenate([com_v, vels, L])
+
+    d = jax.jvp(f, (0.0,), (1.0,))[1]
+    return d[0:3], d[3:9], d[9:15], d[15:21], d[21:24]
+
+
 def angular_momentum(model: RobotModel, q, v, body_X) -> jnp.ndarray:
     """Centroidal angular momentum L about the whole-body CoM."""
     com = rb.com_position(model, body_X)
@@ -216,6 +239,7 @@ def build_qp(
     dt: float,
     body_X=None,
     with_blocks: bool = False,
+    fast: bool = False,
 ):
     """Assemble (H, g, C, l, u) for the WBID QP, plus cached dynamics terms.
 
@@ -236,13 +260,27 @@ def build_qp(
     M = dyn.crba(model, q, body_X)
     h = dyn.bias_force(model, q, v, body_X=body_X)
 
-    # Contact point jacobians (world linear, 3 x nv each).
-    Jc = [rb.frame_jacobian(model, q, body_X, f)[:3] for f in idx.contacts]
-
-    # All task drifts in one forward pass.
-    com_drift, base_drift6, foot_drift0, foot_drift1, L_drift = _all_task_drifts(
-        model, q, v, idx
-    )
+    if fast:
+        # Serving-latency path (WBIDConfig.fast_stack): every frame Jacobian
+        # from ONE batched pass — at B=1 the assembly is op-launch-bound
+        # (round-5 decomposition: build_qp 1.38 ms of the 1.59 ms tick).
+        _all_frames = tuple(idx.contacts) + (idx.pelvis,) + tuple(idx.feet)
+        J_all = rb.frame_jacobians(model, q, body_X, _all_frames)
+        Jc = [J_all[i, :3] for i in range(NF)]
+        _J_pelvis = J_all[NF]
+        _J_feet = (J_all[NF + 1], J_all[NF + 2])
+        com_drift, base_drift6, foot_drift0, foot_drift1, L_drift = (
+            _all_task_drifts_fast(model, q, v, idx)
+        )
+    else:
+        # Contact point jacobians (world linear, 3 x nv each).
+        Jc = [rb.frame_jacobian(model, q, body_X, f)[:3] for f in idx.contacts]
+        _J_pelvis = None
+        _J_feet = (None, None)
+        # All task drifts in one forward pass.
+        com_drift, base_drift6, foot_drift0, foot_drift1, L_drift = (
+            _all_task_drifts(model, q, v, idx)
+        )
     foot_drifts = (foot_drift0, foot_drift1)
 
     A_blocks = []
@@ -270,7 +308,9 @@ def build_qp(
     add(jnp.concatenate([J_com, zeros_f], axis=1), a_des - com_drift, gains.w_com)
 
     # --- Base orientation task rows 3:6 (wbid.py:67-75,172) ---
-    J_base = rb.frame_jacobian(model, q, body_X, idx.pelvis)
+    J_base = _J_pelvis if fast else rb.frame_jacobian(
+        model, q, body_X, idx.pelvis
+    )
     base_R = body_X.R[0]
     base_w = J_base[3:6] @ v
     base_drift = base_drift6[3:6]
@@ -365,8 +405,11 @@ def build_qp(
     )
 
     # --- Angular momentum task (wbid.py:136-142,168) ---
-    L = _angular_momentum_impl(model, q, v, body_X, com)
     A_G = centroidal_momentum_matrix(model, q, body_X)
+    # L = A_G v by definition of the centroidal momentum matrix; the fast
+    # path reuses A_G (one matvec) instead of the per-body sequential loop
+    # (same value — tests/test_dynamics.py checks the two agree).
+    L = A_G @ v if fast else _angular_momentum_impl(model, q, v, body_X, com)
     # Ldot_des = Ldot_ref + K (L_ref - L). With L_ref = Ldot_ref = 0 this is
     # the reference's pure damping (drive momentum to zero; OpenSoT
     # setMomentumGain) — but a walking MPC plan *rolls* the body (the lateral
@@ -388,7 +431,7 @@ def build_qp(
     # --- Contact (stance) + swing tasks per foot (wbid.py:78-115,174-176) ---
     for s in range(2):
         f = idx.feet[s]
-        Jf = rb.frame_jacobian(model, q, body_X, f)
+        Jf = _J_feet[s] if fast else rb.frame_jacobian(model, q, body_X, f)
         Xf = rb.frame_pose(model, body_X, f)
         vel = Jf @ v
         drift = foot_drifts[s]
@@ -426,11 +469,20 @@ def build_qp(
         )
 
     # --- Wrench tracking to MPC forces (wbid.py:179-182,296-297) ---
-    for i in range(NF):
-        Af = jnp.zeros((3, nx), dtype).at[:, nv + 3 * i : nv + 3 * i + 3].set(
-            jnp.eye(3, dtype=dtype)
-        )
-        add(Af, refs.f_des[i], gains.w_wrench)
+    if fast:
+        # One 12-row block from a STATIC selector (trace-time numpy
+        # constant) — same rows/weights as the per-contact loop below.
+        import numpy as _np
+
+        sel_f = _np.zeros((NX_F, nx))
+        sel_f[:, nv:] = _np.eye(NX_F)
+        add(jnp.asarray(sel_f, dtype), refs.f_des.reshape(-1), gains.w_wrench)
+    else:
+        for i in range(NF):
+            Af = jnp.zeros((3, nx), dtype).at[
+                :, nv + 3 * i : nv + 3 * i + 3
+            ].set(jnp.eye(3, dtype=dtype))
+            add(Af, refs.f_des[i], gains.w_wrench)
 
     # --- TOTAL-force tracking (sum over contacts) ---
     # Pins the NET contact force — i.e. the realized CoM dynamics, by Newton —
@@ -521,51 +573,107 @@ def build_qp(
 
     # Friction cones + wrench limits per contact (wbid.py:213-220,117-126).
     mu = gains.mu
-    for i in range(NF):
-        foot_active = refs.contact_active[i // 2]
-        base_col = nv + 3 * i
-        Cc = jnp.zeros((5, nx), dtype)
-        Cc = Cc.at[0, base_col + 0].set(1.0)
-        Cc = Cc.at[0, base_col + 2].add(-mu)
-        Cc = Cc.at[1, base_col + 0].set(-1.0)
-        Cc = Cc.at[1, base_col + 2].add(-mu)
-        Cc = Cc.at[2, base_col + 1].set(1.0)
-        Cc = Cc.at[2, base_col + 2].add(-mu)
-        Cc = Cc.at[3, base_col + 1].set(-1.0)
-        Cc = Cc.at[3, base_col + 2].add(-mu)
-        Cc = Cc.at[4, base_col + 2].set(1.0)
+    if fast:
+        # Template assembly: the cone/box rows are STATIC up to the traced
+        # scalars (mu, fz/fxy bounds, per-foot activity) — build the whole
+        # (NF, 7, nx) block from trace-time numpy constants with ~6 ops
+        # instead of ~10 .at[].set per contact. Row ORDER matches the loop
+        # path exactly (cone 5 rows then xy box 2 rows, per contact).
+        import numpy as _np
+
+        T0 = _np.zeros((NF, 5, nx))   # cone rows, mu-independent part
+        Tmu = _np.zeros((NF, 5, nx))  # cone rows, coefficient of -mu
+        Teq = _np.zeros((NF, 5, nx))  # swing rewrite: f = 0 equalities
+        Txy = _np.zeros((NF, 2, nx))  # tangential box rows
+        for i in range(NF):
+            c = nv + 3 * i
+            T0[i, 0, c] = 1.0
+            T0[i, 1, c] = -1.0
+            T0[i, 2, c + 1] = 1.0
+            T0[i, 3, c + 1] = -1.0
+            T0[i, 4, c + 2] = 1.0
+            Tmu[i, 0:4, c + 2] = 1.0
+            Teq[i, 0, c] = 1.0
+            Teq[i, 1, c + 1] = 1.0
+            Teq[i, 2, c + 2] = 1.0
+            Txy[i, 0, c] = 1.0
+            Txy[i, 1, c + 1] = 1.0
+        act = refs.contact_active[jnp.asarray([0, 0, 1, 1])]  # (NF,)
+        on = act > 0.5
+        Cc_all = jnp.asarray(T0, dtype) - mu * jnp.asarray(Tmu, dtype)
+        C_cone = jnp.where(on[:, None, None], Cc_all, jnp.asarray(Teq, dtype))
         neg = jnp.asarray(-1e20, dtype)
-        l_c = jnp.stack([neg, neg, neg, neg, gains.fz_min * foot_active])
-        u_c = jnp.stack(
-            [0.0 * foot_active, 0.0 * foot_active, 0.0 * foot_active,
-             0.0 * foot_active, gains.fz_max * foot_active]
+        l_cone = jnp.where(
+            on[:, None],
+            jnp.concatenate(
+                [jnp.full((NF, 4), neg, dtype),
+                 (gains.fz_min * act)[:, None]], axis=1
+            ),
+            jnp.zeros((NF, 5), dtype),
         )
-        # Swing feet: force box collapses to exactly zero (switch_procedure,
-        # ros_run_simulation.py:243) — rewrite rows into f = 0 equalities to
-        # avoid a degenerate pyramid (same trick as the MPC, mpc/solver.py).
-        Ci = jnp.zeros((5, nx), dtype)
-        Ci = Ci.at[0, base_col + 0].set(1.0)
-        Ci = Ci.at[1, base_col + 1].set(1.0)
-        Ci = Ci.at[2, base_col + 2].set(1.0)
-        on = foot_active > 0.5
-        addc(
-            jnp.where(on, Cc, Ci),
-            jnp.where(on, l_c, jnp.zeros(5, dtype)),
-            jnp.where(on, u_c, jnp.zeros(5, dtype)),
+        u_cone = jnp.where(
+            on[:, None],
+            jnp.concatenate(
+                [jnp.zeros((NF, 4), dtype),
+                 (gains.fz_max * act)[:, None]], axis=1
+            ),
+            jnp.zeros((NF, 5), dtype),
         )
-        # Tangential wrench box |fx|,|fy| <= fxy_max (the reference's
-        # WrenchLimits x/y rows, wbid.py:123-124). In stance these are far
-        # outside the friction pyramid at normal loads, but they bound the
-        # QP whenever fz saturates; for swing feet they collapse to f = 0
-        # consistently with the equality rewrite above.
-        Cxy = jnp.zeros((2, nx), dtype)
-        Cxy = Cxy.at[0, base_col + 0].set(1.0)
-        Cxy = Cxy.at[1, base_col + 1].set(1.0)
-        addc(
-            Cxy,
-            -gains.fxy_max * foot_active * jnp.ones(2, dtype),
-            gains.fxy_max * foot_active * jnp.ones(2, dtype),
-        )
+        bxy = (gains.fxy_max * act)[:, None] * jnp.ones((NF, 2), dtype)
+        # Interleave per contact: [cone5, xy2] x NF — identical row order to
+        # the loop path.
+        C_blk = jnp.concatenate(
+            [C_cone, jnp.asarray(Txy, dtype)], axis=1
+        ).reshape(NF * 7, nx)
+        l_blk = jnp.concatenate([l_cone, -bxy], axis=1).reshape(NF * 7)
+        u_blk = jnp.concatenate([u_cone, bxy], axis=1).reshape(NF * 7)
+        addc(C_blk, l_blk, u_blk)
+    else:
+        for i in range(NF):
+            foot_active = refs.contact_active[i // 2]
+            base_col = nv + 3 * i
+            Cc = jnp.zeros((5, nx), dtype)
+            Cc = Cc.at[0, base_col + 0].set(1.0)
+            Cc = Cc.at[0, base_col + 2].add(-mu)
+            Cc = Cc.at[1, base_col + 0].set(-1.0)
+            Cc = Cc.at[1, base_col + 2].add(-mu)
+            Cc = Cc.at[2, base_col + 1].set(1.0)
+            Cc = Cc.at[2, base_col + 2].add(-mu)
+            Cc = Cc.at[3, base_col + 1].set(-1.0)
+            Cc = Cc.at[3, base_col + 2].add(-mu)
+            Cc = Cc.at[4, base_col + 2].set(1.0)
+            neg = jnp.asarray(-1e20, dtype)
+            l_c = jnp.stack([neg, neg, neg, neg, gains.fz_min * foot_active])
+            u_c = jnp.stack(
+                [0.0 * foot_active, 0.0 * foot_active, 0.0 * foot_active,
+                 0.0 * foot_active, gains.fz_max * foot_active]
+            )
+            # Swing feet: force box collapses to exactly zero (switch_procedure,
+            # ros_run_simulation.py:243) — rewrite rows into f = 0 equalities to
+            # avoid a degenerate pyramid (same trick as the MPC, mpc/solver.py).
+            Ci = jnp.zeros((5, nx), dtype)
+            Ci = Ci.at[0, base_col + 0].set(1.0)
+            Ci = Ci.at[1, base_col + 1].set(1.0)
+            Ci = Ci.at[2, base_col + 2].set(1.0)
+            on = foot_active > 0.5
+            addc(
+                jnp.where(on, Cc, Ci),
+                jnp.where(on, l_c, jnp.zeros(5, dtype)),
+                jnp.where(on, u_c, jnp.zeros(5, dtype)),
+            )
+            # Tangential wrench box |fx|,|fy| <= fxy_max (the reference's
+            # WrenchLimits x/y rows, wbid.py:123-124). In stance these are far
+            # outside the friction pyramid at normal loads, but they bound the
+            # QP whenever fz saturates; for swing feet they collapse to f = 0
+            # consistently with the equality rewrite above.
+            Cxy = jnp.zeros((2, nx), dtype)
+            Cxy = Cxy.at[0, base_col + 0].set(1.0)
+            Cxy = Cxy.at[1, base_col + 1].set(1.0)
+            addc(
+                Cxy,
+                -gains.fxy_max * foot_active * jnp.ones(2, dtype),
+                gains.fxy_max * foot_active * jnp.ones(2, dtype),
+            )
 
     C = jnp.concatenate(C_rows, axis=0)
     l = jnp.concatenate(l_rows)

@@ -61,10 +61,15 @@ def roofline(compiled, wall_s):
     }
 
 
-def bench_engine(B, n_periods):
+def bench_engine(B, n_periods, fast_stack=False):
     dtype = jnp.float32
     model = load_robot("g1_23dof", dtype=dtype)
     cfg = eng.EngineConfig()
+    if fast_stack:
+        # Round-5 lever for the 40-tick inner-scan serialization bound: the
+        # op-count-lean task-stack assembly (WBIDConfig.fast_stack) — same
+        # QP blocks, ~5x fewer launches per tick (tools/exp_tick_split.py).
+        cfg = cfg._replace(wbid=cfg.wbid._replace(fast_stack=True))
     params = eng.default_scenario(dtype)
     batch = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), params
@@ -173,9 +178,12 @@ def bench_mpc_roofline(B):
 
 
 if __name__ == "__main__":
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    bench_mpc_roofline(4096)
-    bench_engine(B, n_periods)
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    B = int(nums[0]) if nums else 2048
+    n_periods = int(nums[1]) if len(nums) > 1 else 2
+    if "engine-only" not in sys.argv[1:]:
+        bench_mpc_roofline(4096)
+        bench_engine(B, n_periods)
+    bench_engine(B, n_periods, fast_stack=True)
     sys.stdout.flush()
     os._exit(0)

@@ -39,12 +39,16 @@ def main():
         # Single-robot serving path: every B=1 QP inverse through the fused
         # Pallas Gauss-Jordan kernels (QPConfig.polish_kernel — the lever
         # that took the bare MPC solve 2.4 -> 0.25 ms, docs/BENCHMARKS.md).
+        # Round 5 adds fast_stack: the op-count-lean task-stack assembly
+        # (the tick's measured floor was build_qp, not the QPs —
+        # tools/exp_tick_split.py: 1.38 of 1.59 ms).
         cfg = cfg._replace(
             mpc=cfg.mpc._replace(
                 qp=cfg.mpc.qp._replace(polish_kernel=True)
             ),
             wbid=cfg.wbid._replace(
-                qp=cfg.wbid.qp._replace(polish_kernel=True)
+                qp=cfg.wbid.qp._replace(polish_kernel=True),
+                fast_stack=True,
             ),
         )
     params = eng.default_scenario(jnp.float32)
