@@ -98,6 +98,13 @@ class EngineConfig(NamedTuple):
     # crouch guard (gate_z_tol) and step-timing adaptation (timing_gain)
     # are live flagship mechanisms and are NOT behind this flag.
     gait_gate: bool = False
+    # Settle knee guard: after the last touchdown, fade in the LEG postural
+    # task (WBIDGains.w_posture_legs, stack.py) over 0.3 s — escapes the
+    # straight-knee singularity lock the walk-to-stand recovery can park in
+    # (round-5 diagnosis, tools/diag_settle.py: knees pinned at full
+    # extension, CoM stuck at z 0.70, fz = mg forced, slow forward topple).
+    # Static flag: the walking hot path compiles without the leg rows.
+    settle_knee_guard: bool = False
     # Lateral sway + weight-transfer gate parameters live in GaitConfig
     # (per-scenario pytree, vmappable/randomizable).
 
@@ -837,6 +844,16 @@ def _wbid_tick(
         yawR = rot.yaw_matrix(yaw_now)
         hand_pos = state.q[0:3][None, :] + offs @ yawR.T
 
+    posture_legs_scale = None
+    if cfg.settle_knee_guard:
+        half_g2 = (
+            params.gait.swing_duration + params.gait.double_support_duration
+        )
+        t_end_g2 = params.gait.start_time + params.gait.n_steps * half_g2
+        posture_legs_scale = jnp.clip(
+            (state.gait_clock - t_end_g2) / 0.3, 0.0, 1.0
+        ) * (params.gait.n_steps > 0.5)
+
     refs = WBIDReferences(
         com_pos=x1[3:6],
         com_vel=x1[9:12],
@@ -857,6 +874,7 @@ def _wbid_tick(
         angmom_Ldot=angmom_Ldot,
         torso_R=base_R_ref if cfg.torso_task else None,
         hand_pos=hand_pos,
+        posture_legs_scale=posture_legs_scale,
     )
 
     if cfg.telemetry:

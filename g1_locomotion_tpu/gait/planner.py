@@ -109,6 +109,27 @@ def plan_horizon(
     contact_hor = gs.contact_horizon(gait, gait_clock, N, dt_mpc)
     step_idx, _, swing_is_left, _ = gs.phase_info(gait, gait_clock)
 
+    # Pre-stop deceleration (gait.pre_stop_s > 0): the commanded velocity —
+    # as seen by EVERY consumer below (ramp, orbits, DCM nominals, footstep
+    # placement) — ramps linearly to zero over the last pre_stop_s of the
+    # gait, so the final footholds become capture steps for the slowing
+    # gait (see GaitConfig.pre_stop_s). Evaluated at the CURRENT clock
+    # (the horizon sees a constant; the MPC replans every period). The
+    # where() keeps pre_stop_s = 0 bit-neutral.
+    _t_end_ps = gait.start_time + gait.n_steps * (
+        gait.swing_duration + gait.double_support_duration
+    )
+    _ps_factor = jnp.where(
+        gait.pre_stop_s > 0,
+        jnp.clip(
+            (_t_end_ps - gait_clock) / jnp.maximum(gait.pre_stop_s, 1e-6),
+            0.0,
+            1.0,
+        ),
+        1.0,
+    )
+    v_cmd = v_cmd * _ps_factor
+
     stance_mask = jnp.where(
         swing_is_left,
         jnp.array([0.0, 0.0, 1.0, 1.0], dtype),
@@ -281,6 +302,27 @@ def plan_horizon(
         jnp.minimum(ts_ref, t_end) - jnp.maximum(gait_clock, gait.start_time),
         0.0, None,
     )  # in-gait time advanced from "now" to each horizon knot
+    # Sagittal stop ramp (gait.stop_ramp_s > 0): the commanded velocity
+    # decays linearly over the ramp after the last touchdown and the ramp
+    # position advances by its integral R*(s - s^2/2) — the legacy stop
+    # (R = 0) freezes the reference instantly, which over-brakes the walk
+    # tail on the heel-short foot (see GaitConfig.stop_ramp_s). All terms
+    # carry a factor of R, so R = 0 reproduces the legacy values exactly.
+    in_walk = gait.n_steps > 0.5
+    R_stop = jnp.maximum(gait.stop_ramp_s, 1e-6)
+    s_stop_k = jnp.clip((ts_ref - t_end) / R_stop, 0.0, 1.0)  # (N,)
+    s_stop_now = jnp.clip(
+        (jnp.maximum(gait_clock, gait.start_time) - t_end) / R_stop, 0.0, 1.0
+    )
+    decel_pos = lambda s: gait.stop_ramp_s * (s - 0.5 * s * s)
+    adv = adv + jnp.where(
+        in_walk, decel_pos(s_stop_k) - decel_pos(s_stop_now), 0.0
+    )
+    vx_tail = jnp.where(
+        in_walk & (ts_ref >= t_end),
+        v_cmd[0] * (1.0 - s_stop_k) * jnp.sign(gait.stop_ramp_s),
+        0.0,
+    )
     gait_elapsed = jnp.clip(ts_ref - gait.start_time, 0.0, T_gait)
     in_gait_k = (gait_elapsed > 0.0) & (gait_elapsed < T_gait)
     # Sagittal position reference: RECEDING from the measured CoM during the
@@ -299,7 +341,7 @@ def plan_horizon(
     recede = in_step & (hold < 0.5)
     x_anchor = jnp.where(recede, x0[3] - x_orb_now, ramp_x)
     x_ref_line = x_anchor + v_cmd[0] * adv + x_orb
-    vx_ref = jnp.where(in_gait_k, v_cmd[0], 0.0) + vx_orb
+    vx_ref = jnp.where(in_gait_k, v_cmd[0], 0.0) + vx_tail + vx_orb
     # Lateral: during a weight-transfer HOLD the reference is the transfer
     # TARGET — the swing-onset DCM as a *position* (y_orb + vy_orb/omega0),
     # with zero velocity reference. A station-keeping MPC regulates y -> ref
@@ -350,9 +392,15 @@ def plan_horizon(
     hdot_geom = (
         jnp.cross(pos_k - p_ref, acc_k) * in_swing_k[:, None].astype(dtype)
     )
+    vy_tail = jnp.where(
+        in_walk & (ts_ref >= t_end),
+        v_cmd[1] * (1.0 - s_stop_k) * jnp.sign(gait.stop_ramp_s),
+        0.0,
+    )
     v_ref_xy = jnp.stack(
         [vx_ref,
-         (jnp.where(in_gait_k, v_cmd[1], 0.0) + gait.sway_gain * vy_orb)
+         (jnp.where(in_gait_k, v_cmd[1], 0.0) + vy_tail
+          + gait.sway_gain * vy_orb)
          * (1.0 - hold)],
         axis=1,
     )

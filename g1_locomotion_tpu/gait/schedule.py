@@ -112,6 +112,26 @@ class GaitConfig(NamedTuple):
     # to bring the swaying CoM back to the centerline (see
     # lateral_orbit_reference).
     exit_blend_scale: jnp.ndarray = 1.0
+    # Sagittal STOP RAMP [s]: after the last touchdown the commanded-
+    # velocity reference decays linearly over this window (and the position
+    # ramp advances by its integral) instead of freezing instantly.
+    # Round-5 settle diagnosis (tools/diag_settle.py): the instant
+    # v_ref 0.1 -> 0 step at t_end makes the cascade over-brake on the
+    # heel-short G1 foot — the walk tail ends with the torso pitched ~1.2
+    # rad backward, and the recovery overshoots the CoM up into the
+    # straight-knee singularity. 0 = disabled (bit-neutral legacy stop).
+    stop_ramp_s: jnp.ndarray = 0.0
+    # PRE-stop deceleration window [s]: the commanded velocity ramps
+    # linearly to ZERO over the last pre_stop_s of the gait, so the final
+    # touchdown happens at ~zero commanded speed and the sagittal DCM
+    # feedback places the last footholds as capture steps for the slowing
+    # gait — momentum is shed WHILE steps remain (stepping absorbs DCM
+    # error; stance braking cannot — TODO.md round-3 gate finding). The
+    # round-5 settle diagnosis motivates it: stopping from 0.1 m/s in
+    # stance over-brakes the heel-short foot (walk tail ends crouched
+    # z 0.48 → violent stand-up → straight-knee lock → forward topple).
+    # 0 = disabled (bit-neutral).
+    pre_stop_s: jnp.ndarray = 0.0
 
 
 def default_gait(dtype=jnp.float32) -> GaitConfig:
@@ -135,6 +155,8 @@ def default_gait(dtype=jnp.float32) -> GaitConfig:
         lean_gain=jnp.asarray(0.0, dtype),
         settle_blend_s=jnp.asarray(1.0, dtype),
         exit_blend_scale=jnp.asarray(1.0, dtype),
+        stop_ramp_s=jnp.asarray(0.0, dtype),
+        pre_stop_s=jnp.asarray(0.0, dtype),
     )
 
 

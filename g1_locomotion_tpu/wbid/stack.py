@@ -396,6 +396,39 @@ def build_qp(
             level=2,
         )
 
+    # --- Optional LEG postural task (WBIDGains.w_posture_legs): the settle
+    # knee guard. Statically compiled out unless the caller supplies
+    # refs.posture_legs_scale (EngineConfig.settle_knee_guard). Same PD as
+    # the arm/waist postural task, selector on the complementary (leg)
+    # joints, weight faded in by the runtime scale — escapes the
+    # straight-knee singularity lock at walk-to-stand (round-5 diagnosis,
+    # tools/diag_settle.py). ---
+    if refs.posture_legs_scale is not None:
+        import numpy as _np
+
+        leg_idx = tuple(
+            j
+            for j, name in enumerate(model.joint_names)
+            if any(k in name for k in ("hip", "knee", "ankle"))
+        )
+        if leg_idx:
+            n_leg = len(leg_idx)
+            sel_np = _np.zeros((n_leg, nv))
+            sel_np[_np.arange(n_leg), 6 + _np.asarray(leg_idx)] = 1.0
+            a_des_leg = (
+                gains.posture_kp * (refs.posture_q - q[7:])
+                - gains.posture_kd * v[6:]
+            )
+            add(
+                jnp.concatenate(
+                    [jnp.asarray(sel_np, dtype),
+                     jnp.zeros((n_leg, NX_F), dtype)], axis=1
+                ),
+                a_des_leg[jnp.asarray(leg_idx)],
+                gains.w_posture_legs * refs.posture_legs_scale,
+                level=2,
+            )
+
     # --- qddot regularization (wbid.py:152,167) ---
     add(
         jnp.concatenate([jnp.eye(nv, dtype=dtype), jnp.zeros((nv, NX_F), dtype)], axis=1),

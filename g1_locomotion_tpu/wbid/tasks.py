@@ -88,6 +88,18 @@ class WBIDGains(NamedTuple):
     # the MPC's planned force, the gait pumps and falls). 0.02 s keeps a real
     # hard stop close to the limit without the anticipatory braking.
     qlim_lookahead: jnp.ndarray
+    # Optional LEG postural task weight (hip/knee/ankle rows, same Kp/Kd as
+    # the arm/waist postural task). The reference's postural task excludes
+    # the legs — correct in-gait (leg motion belongs to the CoM/contact
+    # tasks) but the walk-to-stand settle can park the knees at FULL
+    # EXTENSION, where the CoM-height Jacobian row through the knee is
+    # singular and the height servo locks at z ~ 0.70 instead of 0.598
+    # (round-5 settle diagnosis, tools/diag_settle.py: knees pinned at
+    # -0.088, fz = mg forced, then the tall singular stance topples
+    # forward). Gated per tick by WBIDReferences.posture_legs_scale
+    # (EngineConfig.settle_knee_guard fades it in after the last
+    # touchdown); pulls the legs toward the bent q_init. 0 = off.
+    w_posture_legs: jnp.ndarray = 0.0
 
 
 def default_gains(dtype=jnp.float32) -> WBIDGains:
@@ -123,6 +135,7 @@ def default_gains(dtype=jnp.float32) -> WBIDGains:
         torso_kp_ang=jnp.asarray(60.0, dtype),
         torso_kd_ang=jnp.asarray(15.0, dtype),
         w_torso=jnp.asarray(2.0, dtype),
+        w_posture_legs=jnp.asarray(0.0, dtype),
         qlim_lookahead=jnp.asarray(0.02, dtype),
     )
 
@@ -161,3 +174,9 @@ class WBIDReferences(NamedTuple):
                                # None (default) compiles the stack without
                                # the torso task. Angular-velocity target is
                                # base_angvel (the plan's), feedforward zero.
+    posture_legs_scale: jnp.ndarray | None = None  # scalar [0,1] fading in
+                               # the LEG postural task (WBIDGains.
+                               # w_posture_legs) during the walk-to-stand
+                               # settle; None (default) compiles the stack
+                               # without the leg rows (the walking hot path
+                               # never pays for them).

@@ -177,10 +177,19 @@ def main():
         ("rate", "swing_xy_rate_max"),
         ("blend", "settle_blend_s"),
         ("exit", "exit_blend_scale"),
+        ("sramp", "stop_ramp_s"),
+        ("pstop", "pre_stop_s"),
     ):
         if k in kv:
             gait = gait._replace(**{field: jnp.asarray(float(kv[k]), f64)})
     params = params._replace(gait=gait)
+    if "kneeg" in kv:  # settle knee guard: leg postural weight + flag
+        cfg = cfg._replace(settle_knee_guard=True)
+        params = params._replace(
+            wbid_gains=params.wbid_gains._replace(
+                w_posture_legs=jnp.asarray(float(kv["kneeg"]), f64)
+            )
+        )
 
     half = float(params.gait.swing_duration) + float(
         params.gait.double_support_duration
