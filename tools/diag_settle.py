@@ -82,6 +82,7 @@ def main():
         ("gwin", "gate_window"), ("gxitol", "gate_xi_tol"),
         ("dslow", "ds_slow_gain"), ("dsmin", "ds_rate_min"),
         ("blend", "settle_blend_s"), ("exit", "exit_blend_scale"),
+        ("sramp", "stop_ramp_s"), ("pstop", "pre_stop_s"),
     ):
         if k in kv:
             gait = gait._replace(**{field: jnp.asarray(float(kv[k]), f64)})
