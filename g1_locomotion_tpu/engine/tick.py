@@ -105,6 +105,14 @@ class EngineConfig(NamedTuple):
     # extension, CoM stuck at z 0.70, fz = mg forced, slow forward topple).
     # Static flag: the walking hot path compiles without the leg rows.
     settle_knee_guard: bool = False
+    # STATIC gate for the round-5 experimental planner mechanisms
+    # (FootstepConfig.dcm_err_gain schedule, GaitConfig.stop_ramp_s /
+    # pre_stop_s). Off (default) compiles the EXACT round-4 planner
+    # program — even value-neutral extra ops change XLA's codegen draw and
+    # flipped the validated stale-cadence walk (round-5 measurement; the
+    # golden stayed bitwise identical). Tools that exercise the mechanisms
+    # (diag_settle, ensemble_mjwalk, sweep_margins wave 3) enable it.
+    plan_extras: bool = False
     # Lateral sway + weight-transfer gate parameters live in GaitConfig
     # (per-scenario pytree, vmappable/randomizable).
 
@@ -641,6 +649,7 @@ def _mpc_stage(
         hold=state.gate_hold,
         prev_landing=prev_landing, lock_flag=lock_flag,
         swing_start=state.swing_start, z_apex=cfg.max_swing_height,
+        plan_extras=cfg.plan_extras,
     )
 
     if cfg.telemetry:

@@ -102,6 +102,17 @@ def plan_horizon(
                               # profile from here. None: approximate with
                               # the swing side's current contact mean
     z_apex: float = 0.05,     # swing apex height for the momentum preview
+    plan_extras: bool = False,  # STATIC gate for the round-5 experimental
+                              # mechanisms (dcm_err_gain schedule, stop_ramp,
+                              # pre_stop). False (default) compiles the
+                              # EXACT round-4 program: even value-neutral
+                              # extra ops change XLA's codegen draw, and the
+                              # validated walking bundles are chaotic at the
+                              # ulp level (measured round 5: the stale-
+                              # cadence walk flipped from the added where()
+                              # ops alone while the golden stayed bitwise
+                              # identical). EngineConfig.plan_extras wires
+                              # it; the diag/ensemble/sweep tools enable it.
 ) -> MPCPlan:
     dtype = x0.dtype
     hold = jnp.asarray(hold, dtype)
@@ -109,26 +120,28 @@ def plan_horizon(
     contact_hor = gs.contact_horizon(gait, gait_clock, N, dt_mpc)
     step_idx, _, swing_is_left, _ = gs.phase_info(gait, gait_clock)
 
-    # Pre-stop deceleration (gait.pre_stop_s > 0): the commanded velocity —
-    # as seen by EVERY consumer below (ramp, orbits, DCM nominals, footstep
-    # placement) — ramps linearly to zero over the last pre_stop_s of the
-    # gait, so the final footholds become capture steps for the slowing
-    # gait (see GaitConfig.pre_stop_s). Evaluated at the CURRENT clock
-    # (the horizon sees a constant; the MPC replans every period). The
-    # where() keeps pre_stop_s = 0 bit-neutral.
-    _t_end_ps = gait.start_time + gait.n_steps * (
-        gait.swing_duration + gait.double_support_duration
-    )
-    _ps_factor = jnp.where(
-        gait.pre_stop_s > 0,
-        jnp.clip(
-            (_t_end_ps - gait_clock) / jnp.maximum(gait.pre_stop_s, 1e-6),
-            0.0,
+    if plan_extras:
+        # Pre-stop deceleration (gait.pre_stop_s > 0): the commanded
+        # velocity — as seen by EVERY consumer below (ramp, orbits, DCM
+        # nominals, footstep placement) — ramps linearly to zero over the
+        # last pre_stop_s of the gait, so the final footholds become
+        # capture steps for the slowing gait (see GaitConfig.pre_stop_s).
+        # Evaluated at the CURRENT clock (the horizon sees a constant; the
+        # MPC replans every period).
+        _t_end_ps = gait.start_time + gait.n_steps * (
+            gait.swing_duration + gait.double_support_duration
+        )
+        _ps_factor = jnp.where(
+            gait.pre_stop_s > 0,
+            jnp.clip(
+                (_t_end_ps - gait_clock)
+                / jnp.maximum(gait.pre_stop_s, 1e-6),
+                0.0,
+                1.0,
+            ),
             1.0,
-        ),
-        1.0,
-    )
-    v_cmd = v_cmd * _ps_factor
+        )
+        v_cmd = v_cmd * _ps_factor
 
     stance_mask = jnp.where(
         swing_is_left,
@@ -219,13 +232,17 @@ def plan_horizon(
         step_idx - (gait.n_steps - 2.0) + 1.0, 0.0, 1.0
     )
     # State-scheduled lateral DCM gain (steps.dcm_err_gain > 0): slope
-    # dcm_scale on the orbit, proportionally harder stepping off it (the
-    # round-5 knife-edge lever — see FootstepConfig.dcm_err_gain).
+    # dcm_scale on the orbit, proportionally harder stepping off it.
+    # Measured round 5 (tools/sweep_margins.py 3): does NOT widen the
+    # dcm_scale knife edge — kept as an experiment behind plan_extras.
     e_xi = xi_pred - xi_nom
-    eff_scale = steps.dcm_scale + steps.dcm_err_gain * jnp.abs(e_xi)
-    corr_y = jnp.clip(
-        eff_scale * e_xi, -steps.dcm_corr_max, steps.dcm_corr_max
-    )
+    if plan_extras:
+        eff_scale = steps.dcm_scale + steps.dcm_err_gain * jnp.abs(e_xi)
+        corr_y = jnp.clip(
+            eff_scale * e_xi, -steps.dcm_corr_max, steps.dcm_corr_max
+        )
+    else:
+        corr_y = steps.dcm_scale * e_xi
     y_land = (
         line_y
         + jnp.where(swing_is_left, w_land, -w_land)
@@ -306,23 +323,24 @@ def plan_horizon(
     # decays linearly over the ramp after the last touchdown and the ramp
     # position advances by its integral R*(s - s^2/2) — the legacy stop
     # (R = 0) freezes the reference instantly, which over-brakes the walk
-    # tail on the heel-short foot (see GaitConfig.stop_ramp_s). All terms
-    # carry a factor of R, so R = 0 reproduces the legacy values exactly.
-    in_walk = gait.n_steps > 0.5
-    R_stop = jnp.maximum(gait.stop_ramp_s, 1e-6)
-    s_stop_k = jnp.clip((ts_ref - t_end) / R_stop, 0.0, 1.0)  # (N,)
-    s_stop_now = jnp.clip(
-        (jnp.maximum(gait_clock, gait.start_time) - t_end) / R_stop, 0.0, 1.0
-    )
-    decel_pos = lambda s: gait.stop_ramp_s * (s - 0.5 * s * s)
-    adv = adv + jnp.where(
-        in_walk, decel_pos(s_stop_k) - decel_pos(s_stop_now), 0.0
-    )
-    vx_tail = jnp.where(
-        in_walk & (ts_ref >= t_end),
-        v_cmd[0] * (1.0 - s_stop_k) * jnp.sign(gait.stop_ramp_s),
-        0.0,
-    )
+    # tail on the heel-short foot (see GaitConfig.stop_ramp_s).
+    if plan_extras:
+        in_walk = gait.n_steps > 0.5
+        R_stop = jnp.maximum(gait.stop_ramp_s, 1e-6)
+        s_stop_k = jnp.clip((ts_ref - t_end) / R_stop, 0.0, 1.0)  # (N,)
+        s_stop_now = jnp.clip(
+            (jnp.maximum(gait_clock, gait.start_time) - t_end) / R_stop,
+            0.0, 1.0,
+        )
+        decel_pos = lambda s: gait.stop_ramp_s * (s - 0.5 * s * s)
+        adv = adv + jnp.where(
+            in_walk, decel_pos(s_stop_k) - decel_pos(s_stop_now), 0.0
+        )
+        vx_tail = jnp.where(
+            in_walk & (ts_ref >= t_end),
+            v_cmd[0] * (1.0 - s_stop_k) * jnp.sign(gait.stop_ramp_s),
+            0.0,
+        )
     gait_elapsed = jnp.clip(ts_ref - gait.start_time, 0.0, T_gait)
     in_gait_k = (gait_elapsed > 0.0) & (gait_elapsed < T_gait)
     # Sagittal position reference: RECEDING from the measured CoM during the
@@ -341,7 +359,10 @@ def plan_horizon(
     recede = in_step & (hold < 0.5)
     x_anchor = jnp.where(recede, x0[3] - x_orb_now, ramp_x)
     x_ref_line = x_anchor + v_cmd[0] * adv + x_orb
-    vx_ref = jnp.where(in_gait_k, v_cmd[0], 0.0) + vx_tail + vx_orb
+    if plan_extras:
+        vx_ref = jnp.where(in_gait_k, v_cmd[0], 0.0) + vx_tail + vx_orb
+    else:
+        vx_ref = jnp.where(in_gait_k, v_cmd[0], 0.0) + vx_orb
     # Lateral: during a weight-transfer HOLD the reference is the transfer
     # TARGET — the swing-onset DCM as a *position* (y_orb + vy_orb/omega0),
     # with zero velocity reference. A station-keeping MPC regulates y -> ref
@@ -392,15 +413,18 @@ def plan_horizon(
     hdot_geom = (
         jnp.cross(pos_k - p_ref, acc_k) * in_swing_k[:, None].astype(dtype)
     )
-    vy_tail = jnp.where(
-        in_walk & (ts_ref >= t_end),
-        v_cmd[1] * (1.0 - s_stop_k) * jnp.sign(gait.stop_ramp_s),
-        0.0,
-    )
+    if plan_extras:
+        vy_tail = jnp.where(
+            in_walk & (ts_ref >= t_end),
+            v_cmd[1] * (1.0 - s_stop_k) * jnp.sign(gait.stop_ramp_s),
+            0.0,
+        )
+        vy_in = jnp.where(in_gait_k, v_cmd[1], 0.0) + vy_tail
+    else:
+        vy_in = jnp.where(in_gait_k, v_cmd[1], 0.0)
     v_ref_xy = jnp.stack(
         [vx_ref,
-         (jnp.where(in_gait_k, v_cmd[1], 0.0) + vy_tail
-          + gait.sway_gain * vy_orb)
+         (vy_in + gait.sway_gain * vy_orb)
          * (1.0 - hold)],
         axis=1,
     )

@@ -59,6 +59,8 @@ def main():
     cfg = eng.walking_config()._replace(ticks_per_mpc=int(kv.get("tpm", 40)))
     if "dslow" in kv or "gwin" in kv:
         cfg = cfg._replace(gait_gate=True)
+    if any(k in kv for k in ("sramp", "pstop", "dcmeg")):
+        cfg = cfg._replace(plan_extras=True)  # round-5 planner mechanisms
     scenario = (
         eng.walking_scenario if kv.get("nom") == "1"
         else eng.mujoco_walking_scenario

@@ -116,7 +116,9 @@ def main():
     model = load_robot("g1_23dof", dtype=jnp.float64)
     cfg = eng.walking_config()._replace(ticks_per_mpc=tpm)
     if "dslow" in kv or "gwin" in kv:
-        cfg = cfg._replace(gait_gate=True)  # compile the DS-tail clock law in
+        cfg = cfg._replace(gait_gate=True)
+    if any(k in kv for k in ("sramp", "pstop", "dcmeg")):
+        cfg = cfg._replace(plan_extras=True)  # round-5 planner mechanisms  # compile the DS-tail clock law in
     scenario = (
         eng.walking_scenario if kv.get("nom") == "1"
         else eng.mujoco_walking_scenario

@@ -132,7 +132,7 @@ def wave_dcm_sched():
     enable_persistent_cache()
     dtype = jnp.float32
     model = load_robot("g1_23dof", dtype=dtype)
-    cfg = eng.walking_config_f32()
+    cfg = eng.walking_config_f32()._replace(plan_extras=True)
     base = eng.walking_scenario_f32_robust(dtype, n_steps=8.0,
                                            v_cmd=(0.1, 0.0))
     specs = []
