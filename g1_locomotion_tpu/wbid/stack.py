@@ -579,6 +579,30 @@ def build_qp(
     T_lim = gains.qlim_lookahead
     qj_min = model.q_lower
     qj_max = model.q_upper
+    # Knee-extension floor (settle knee guard, round-5): raise the knees'
+    # effective lower limit toward gains.knee_floor as the guard fades in,
+    # so the settle can never park at the FULLY-STRAIGHT singular
+    # configuration where the CoM-height Jacobian through the knee
+    # vanishes and the height servo locks (tools/diag_settle.py). Same
+    # static gate as the leg postural task — validated walking bundles
+    # compile without these ops.
+    if refs.posture_legs_scale is not None:
+        import numpy as _np
+
+        knee_mask = jnp.asarray(
+            _np.array([
+                1.0 if "knee" in name else 0.0
+                for name in model.joint_names
+            ]),
+            dtype,
+        )
+        floor = (
+            refs.posture_legs_scale * gains.knee_floor
+            + (1.0 - refs.posture_legs_scale) * qj_min
+        )
+        qj_min = jnp.where(
+            knee_mask > 0.5, jnp.maximum(qj_min, floor), qj_min
+        )
     sel_j = jnp.concatenate(
         [jnp.zeros((model.nj, 6), dtype), jnp.eye(model.nj, dtype=dtype),
          jnp.zeros((model.nj, NX_F), dtype)],

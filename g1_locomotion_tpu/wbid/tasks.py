@@ -100,6 +100,11 @@ class WBIDGains(NamedTuple):
     # (EngineConfig.settle_knee_guard fades it in after the last
     # touchdown); pulls the legs toward the bent q_init. 0 = off.
     w_posture_legs: jnp.ndarray = 0.0
+    # Knee-extension floor [rad] under the settle knee guard: the knees'
+    # effective lower limit rises to this as the guard fades in, so the
+    # stand-up recovery can never park at the fully-straight singular
+    # configuration (stack.py joint-limit rows; same static gate).
+    knee_floor: jnp.ndarray = 0.15
 
 
 def default_gains(dtype=jnp.float32) -> WBIDGains:
@@ -136,6 +141,7 @@ def default_gains(dtype=jnp.float32) -> WBIDGains:
         torso_kd_ang=jnp.asarray(15.0, dtype),
         w_torso=jnp.asarray(2.0, dtype),
         w_posture_legs=jnp.asarray(0.0, dtype),
+        knee_floor=jnp.asarray(0.15, dtype),
         qlim_lookahead=jnp.asarray(0.02, dtype),
     )
 
