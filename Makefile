@@ -22,9 +22,9 @@ HALF_A = tests/test_engine.py tests/test_engine_walking.py \
          tests/test_engine_mujoco.py tests/test_golden.py \
          tests/test_srbd_loop.py
 test-par:
-	@$(PY) -m pytest $(HALF_A) -q > /tmp/pytest_half_a.log 2>&1 & \
+	@$(PY) -m pytest $(HALF_A) -q -m "not xslow" > /tmp/pytest_half_a.log 2>&1 & \
 	pid=$$!; \
-	$(PY) -m pytest tests/ -q $(foreach f,$(HALF_A),--ignore=$(f)); rc=$$?; \
+	$(PY) -m pytest tests/ -q -m "not xslow" $(foreach f,$(HALF_A),--ignore=$(f)); rc=$$?; \
 	wait $$pid; rc2=$$?; \
 	echo "--- half A ---"; tail -3 /tmp/pytest_half_a.log; \
 	exit $$(( rc + rc2 ))
